@@ -1,0 +1,287 @@
+"""CLI — flag-compatible with the reference (src/shafa.c:47-132, 150-259).
+
+Flags: <file>  -m f|t|c|d (repeatable)  -b K|m|M  -c r|f  -d s|r
+       --no-multithread (accepted; maps to single-device, unbatched execution)
+Extra (TPU-side, not present in the reference): --backend numpy|jax.
+
+Defaulting (shafa.c:293-305): with no -m, a .shaf input runs D only, anything
+else runs F+T+C; with no -b the block size is 64 KiB (the reference's code
+default — its README says 640 KiB but the code disagrees; we follow the code).
+
+Module-chain legality and error messages replicate execute_modules verbatim.
+Exit status: 0 on success, 1 on any error (shafa.c:310-316).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+from . import formats, geometry, pipeline
+from .errors import Code, ShafaError, error_msg
+from .pipeline import StageReport
+
+BANNER = [
+    "shafa-tpu: TPU-native Shafa-format lossless codec",
+    "JAX/XLA/Pallas implementation (reference: Fytex/Shafa-CD)",
+]
+
+
+@dataclasses.dataclass
+class Options:
+    block_size: int = 0
+    module_f: bool = False
+    module_t: bool = False
+    module_c: bool = False
+    module_d: bool = False
+    f_force_rle: bool = False
+    f_force_freq: bool = False
+    d_shaf: bool = False
+    d_rle: bool = False
+    no_multithread: bool = False
+    backend: str = "auto"
+
+
+def parse(argv: list[str]) -> tuple[Options, str | None] | None:
+    """Reference parse() semantics (shafa.c:47-132): returns None on syntax
+    error; value flags must be separate argv entries of length 1."""
+    opts = Options()
+    file: str | None = None
+    i = 0
+    while i < len(argv):
+        key = argv[i]
+        if key == "--no-multithread":
+            opts.no_multithread = True
+        elif key == "--backend":  # extension flag, not in the reference
+            i += 1
+            if i >= len(argv) or argv[i] not in ("numpy", "jax", "auto"):
+                return None
+            opts.backend = argv[i]
+        elif not key.startswith("-"):
+            if file is not None:
+                return None
+            file = key
+        else:
+            i += 1
+            if i >= len(argv):
+                return None
+            value = argv[i]
+            if len(key) != 2 or len(value) != 1:
+                return None
+            if key[1] == "m":
+                if value == "f":
+                    opts.module_f = True
+                elif value == "t":
+                    opts.module_t = True
+                elif value == "c":
+                    opts.module_c = True
+                elif value == "d":
+                    opts.module_d = True
+                else:
+                    return None
+            elif key[1] == "b":
+                if value not in geometry.BLOCK_SIZE_BY_FLAG:
+                    return None
+                opts.block_size = geometry.BLOCK_SIZE_BY_FLAG[value]
+            elif key[1] == "c":
+                if value == "r":
+                    opts.f_force_rle = True
+                elif value == "f":
+                    opts.f_force_freq = True
+                else:
+                    return None
+            elif key[1] == "d":
+                if value == "s":
+                    opts.d_shaf = True
+                elif value == "r":
+                    opts.d_rle = True
+                else:
+                    return None
+            else:
+                return None
+        i += 1
+    return opts, file
+
+
+def _print_summary_f(r: StageReport) -> None:
+    print("\n".join(BANNER))
+    print("Module: f (calculation of symbol frequencies)")
+    print(f"Number of blocks: {r.n_blocks}")
+    print("Size of blocks analyzed in the original file: "
+          + "/".join(map(str, r.sizes_before)))
+    if r.extra.get("compress_rle"):
+        size_f = r.extra["size_f"]
+        size_rle = sum(r.sizes_after)
+        ratio = (size_f - size_rle) / size_f * 100.0
+        rle_path = r.generated[0]
+        print(f"RLE Compression: {rle_path} ({ratio:f}% compression)")
+        print("Size of blocks analyzed in the RLE file: "
+              + "/".join(map(str, r.sizes_after)) + " bytes")
+    print(f"Module runtime (milliseconds): {r.runtime_ms:f}")
+    print("Generated files: " + ", ".join(r.generated))
+
+
+def _print_summary_t(r: StageReport) -> None:
+    print("\n".join(BANNER))
+    print("Module: T (Calculation of symbol codes)")
+    print(f"Number of blocks: {r.n_blocks}")
+    print("Size of blocks analyzed in the symbol file: "
+          + "/".join(map(str, r.sizes_before)) + " bytes")
+    print(f"Module runtime (milliseconds): {r.runtime_ms:f}")
+    print(f"Generated file {r.generated[0]}")
+
+
+def _print_summary_c(r: StageReport) -> None:
+    print("\n".join(BANNER))
+    print("Module: C (Symbol codes' codification)")
+    print(f"Number of blocks: {r.n_blocks}")
+    for i, (a, b) in enumerate(zip(r.sizes_before, r.sizes_after)):
+        pct = int(b / a * 100) if a else 0
+        print(f"Size before/after & compression rate (Block {i}): {a}/{b} -> {pct}%")
+    print(f"Module runtime (milliseconds): {r.runtime_ms:f}")
+    print(f"Generated file {r.generated[0]}")
+
+
+def _print_summary_d(r: StageReport) -> None:
+    print("\n".join(BANNER))
+    algo = r.extra.get("algo", "shafa")
+    name = {"rle": "RLE decoding", "shafa": "SHAFA decoding",
+            "shafa_rle": "SHAFA & RLE decoding"}[algo]
+    print(f"Module: D ({name})")
+    for i, (a, b) in enumerate(zip(r.sizes_before, r.sizes_after)):
+        print(f"Size before/after generating file (block {i + 1}): {a}/{b}")
+    print(f"Module runtime (in milliseconds): {r.runtime_ms:f}")
+    print(f"Generated file {r.generated[0]}")
+
+
+def execute_modules(opts: Options, path: str) -> int:
+    """Mirror of execute_modules (shafa.c:150-259): same conflicts, same
+    stderr lines, same chaining."""
+    backend = pipeline.get_backend(opts.backend)
+    decompressed = False
+
+    if opts.module_f:
+        try:
+            path, rep = pipeline.module_f(
+                path, opts.f_force_rle, opts.f_force_freq, opts.block_size,
+                backend)
+        except ShafaError as e:
+            print("Module f: Something went wrong while compressing with RLE"
+                  " or creating frequencies' table...", file=sys.stderr)
+            return e.code
+        _print_summary_f(rep)
+
+    if opts.module_t:
+        if not opts.module_f:
+            if formats.check_ext(path, formats.FREQ_EXT):
+                path = formats.rm_ext(path)
+            else:
+                print(f"Module t: Wrong extension... Should end in "
+                      f"{formats.FREQ_EXT}", file=sys.stderr)
+                return Code.OUTSIDE_MODULE
+        try:
+            path, rep = pipeline.module_t(path)
+        except ShafaError as e:
+            print("Module t: Something went wrong...", file=sys.stderr)
+            return e.code
+        _print_summary_t(rep)
+
+    if opts.module_c:
+        if opts.module_f and not opts.module_t:
+            print("Module c: Can't execute module 'c' after 'f' without"
+                  " 't'...", file=sys.stderr)
+            return Code.OUTSIDE_MODULE
+        try:
+            path, rep = pipeline.module_c(path, backend)
+        except ShafaError as e:
+            print("Module c: Something went wrong...", file=sys.stderr)
+            return e.code
+        _print_summary_c(rep)
+
+    if opts.module_d:
+        if ((opts.module_f and (not opts.module_t or not opts.module_c)
+             and not formats.check_ext(path, formats.RLE_EXT))
+                or (opts.module_t and not opts.module_c)):
+            print("Module d: Can't execute module 'd' after 'f' without 't'"
+                  " or 'c', nor execute it after 't'  without 'c'...",
+                  file=sys.stderr)
+            return Code.OUTSIDE_MODULE
+
+        file_rle_shaf = False
+        if opts.d_shaf or not opts.d_rle:
+            if not formats.check_ext(path, formats.SHAFA_EXT):
+                if opts.d_shaf:
+                    print(f"Module d: Wrong extension... Should end in "
+                          f"{formats.SHAFA_EXT}", file=sys.stderr)
+                    return Code.OUTSIDE_MODULE
+            else:
+                if opts.d_rle:
+                    if formats.check_ext(path, formats.RLE_EXT + formats.SHAFA_EXT):
+                        file_rle_shaf = True
+                    else:
+                        print(f"Module d: Wrong extension... Should end in "
+                              f"{formats.RLE_EXT + formats.SHAFA_EXT}",
+                              file=sys.stderr)
+                        return Code.OUTSIDE_MODULE
+                rle = ((opts.d_rle or not opts.d_shaf)
+                       and (file_rle_shaf
+                            or formats.check_ext(
+                                path, formats.RLE_EXT + formats.SHAFA_EXT)))
+                try:
+                    path, rep = pipeline.module_d_shafa(path, rle, backend)
+                except ShafaError as e:
+                    print("Module d: Something went wrong while"
+                          " decompressing...", file=sys.stderr)
+                    return e.code
+                _print_summary_d(rep)
+                decompressed = True
+
+        if not decompressed and (opts.d_rle or not opts.d_shaf):
+            if not formats.check_ext(path, formats.RLE_EXT):
+                print(f"Module d: Wrong extension... Should end in "
+                      f"{formats.RLE_EXT}", file=sys.stderr)
+                return Code.OUTSIDE_MODULE
+            try:
+                path, rep = pipeline.module_d_rle(path, backend)
+            except ShafaError as e:
+                print("Module d: Something went wrong while decompressing...",
+                      file=sys.stderr)
+                return e.code
+            _print_summary_d(rep)
+
+    return Code.SUCCESS
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print("No file input", file=sys.stderr)
+        return 1
+    parsed = parse(argv)
+    if parsed is None:
+        print("Wrong Options' syntax", file=sys.stderr)
+        return 1
+    opts, file = parsed
+    if file is None:
+        print("No file input", file=sys.stderr)
+        return 1
+
+    # Defaulting (shafa.c:293-305).
+    if not (opts.module_f or opts.module_t or opts.module_c or opts.module_d):
+        if formats.check_ext(file, formats.SHAFA_EXT):
+            opts.module_d = True
+        else:
+            opts.module_f = opts.module_t = opts.module_c = True
+    if not opts.block_size:
+        opts.block_size = geometry.CLI_DEFAULT_BLOCK_SIZE
+
+    error = execute_modules(opts, file)
+    if error:
+        if error != Code.OUTSIDE_MODULE:
+            print(error_msg(error), end="", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,266 @@
+"""Stage drivers: modules F, T, C, D — behavior-compatible with the reference.
+
+Each module reads/writes the sidecar formats of formats.py and hands the
+"current path" forward exactly like the reference's path hand-off protocol
+(shafa.c:135-142): F: file -> file.rle, C: x -> x.shaf, D: strips extensions.
+
+Compute is delegated to a pluggable backend (numpy oracle or the JAX/TPU
+backend in device.py) that operates on LISTS of blocks, so the TPU backend can
+batch blocks into padded device arrays and shard them over a mesh — the
+TPU-native replacement for the reference's per-block thread pipeline
+(multithread.c:126-194; see SURVEY.md §2 component 7).
+
+Stage resumability: like the reference, every stage persists its complete
+output as files, so any prefix of F->T->C->D can be re-run independently
+(SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Protocol, Sequence
+
+import numpy as np
+
+from . import codes as codes_mod
+from . import formats, geometry, oracle
+from .errors import (FileInaccessibleError, FileTooSmallError,
+                     FileUnrecognizableError)
+
+#: RLE keep/skip gate: applied to block 0 only (f.c:250-257).
+RLE_GATE_RATIO = 0.05
+
+
+class Backend(Protocol):
+    """Per-stage block-batch compute."""
+
+    def rle_encode(self, blocks: Sequence[np.ndarray]) -> list[np.ndarray]: ...
+
+    def histogram(self, blocks: Sequence[np.ndarray]) -> list[np.ndarray]: ...
+
+    def pack(self, blocks: Sequence[np.ndarray],
+             block_codes: Sequence[list[str]]) -> list[bytes]: ...
+
+    def unpack(self, payloads: Sequence[bytes],
+               block_codes: Sequence[list[str]],
+               out_counts: Sequence[int]) -> list[np.ndarray]: ...
+
+    def rle_expand(self, blocks: Sequence[np.ndarray]) -> list[np.ndarray]: ...
+
+
+class NumpyBackend:
+    """Host fallback / differential baseline; exact per oracle.py."""
+
+    def rle_encode(self, blocks):
+        return [oracle.rle_encode(b) for b in blocks]
+
+    def histogram(self, blocks):
+        return [oracle.histogram(b) for b in blocks]
+
+    def pack(self, blocks, block_codes):
+        out = []
+        for b, c in zip(blocks, block_codes):
+            lens, vals = codes_mod.code_table_arrays(c, width=64)
+            out.append(oracle.pack(b, lens, vals))
+        return out
+
+    def unpack(self, payloads, block_codes, out_counts):
+        return [oracle.unpack(p, c, n)
+                for p, c, n in zip(payloads, block_codes, out_counts)]
+
+    def rle_expand(self, blocks):
+        return [oracle.rle_expand(b) for b in blocks]
+
+
+def get_backend(name: str = "auto") -> Backend:
+    """Resolve a backend by name: 'numpy', 'jax', or 'auto' (jax if usable)."""
+    if name == "numpy":
+        return NumpyBackend()
+    from .device import JaxBackend  # deferred: importing jax is slow
+    return JaxBackend()
+
+
+@dataclasses.dataclass
+class StageReport:
+    module: str
+    n_blocks: int
+    sizes_before: list[int]
+    sizes_after: list[int]
+    runtime_ms: float
+    generated: list[str]
+    extra: dict = dataclasses.field(default_factory=dict)
+
+
+def _read_blocks(path: str, sizes: Sequence[int]) -> list[np.ndarray]:
+    out = []
+    with open(path, "rb") as fp:
+        for s in sizes:
+            buf = fp.read(s)
+            if len(buf) != s:
+                raise FileUnrecognizableError(f"{path}: truncated block")
+            out.append(np.frombuffer(buf, np.uint8))
+    return out
+
+
+def _open_read(path: str) -> bytes:
+    try:
+        with open(path, "rb") as fp:
+            return fp.read()
+    except OSError as e:
+        raise FileInaccessibleError(str(e)) from e
+
+
+# ---------------------------------------------------------------------------
+# Module F: RLE compression + frequency histograms (f.c:180-412)
+# ---------------------------------------------------------------------------
+
+def module_f(path: str, force_rle: bool, force_freq: bool, block_size: int,
+             backend: Backend) -> tuple[str, StageReport]:
+    t0 = time.perf_counter()
+    if not os.path.isfile(path):
+        raise FileInaccessibleError(path)
+    geo = geometry.geometry_for_file(path, block_size)
+    if geo.total < geometry.MIN_FILE_SIZE:
+        raise FileTooSmallError(path)
+    sizes = geo.sizes()
+    blocks = _read_blocks(path, sizes)
+
+    # Gate decision from block 0 only (f.c:250-257).
+    rle0 = backend.rle_encode(blocks[:1])[0]
+    ratio = (sizes[0] - rle0.size) / sizes[0]
+    compress_rle = force_rle or ratio >= RLE_GATE_RATIO
+
+    generated: list[str] = []
+    rle_sizes: list[int] = []
+    path_rle = formats.add_ext(path, formats.RLE_EXT)
+    if compress_rle:
+        rle_blocks = [rle0] + backend.rle_encode(blocks[1:])
+        rle_sizes = [b.size for b in rle_blocks]
+        freqs = backend.histogram(rle_blocks)
+        with open(path_rle, "wb") as fp:
+            for b in rle_blocks:
+                fp.write(b.tobytes())
+        path_rle_freq = formats.add_ext(path_rle, formats.FREQ_EXT)
+        with open(path_rle_freq, "wb") as fp:
+            formats.write_freq(fp, "R", rle_sizes,
+                               [f.tolist() for f in freqs])
+        generated += [path_rle, path_rle_freq]
+    if force_freq or not compress_rle:
+        freqs = backend.histogram(blocks)
+        path_freq = formats.add_ext(path, formats.FREQ_EXT)
+        with open(path_freq, "wb") as fp:
+            formats.write_freq(fp, "N", sizes, [f.tolist() for f in freqs])
+        generated.append(path_freq)
+
+    new_path = path_rle if compress_rle else path
+    report = StageReport(
+        module="f", n_blocks=geo.n_blocks, sizes_before=sizes,
+        sizes_after=rle_sizes or sizes,
+        runtime_ms=(time.perf_counter() - t0) * 1e3,
+        generated=generated,
+        extra={"compress_rle": compress_rle, "size_f": geo.total},
+    )
+    return new_path, report
+
+
+# ---------------------------------------------------------------------------
+# Module T: Shannon-Fano code construction (t.c:246-445)
+# ---------------------------------------------------------------------------
+
+def module_t(path: str) -> tuple[str, StageReport]:
+    t0 = time.perf_counter()
+    freq = formats.parse_freq(_open_read(formats.add_ext(path, formats.FREQ_EXT)))
+    block_codes = [codes_mod.build_codes(f) for f in freq.freqs]
+    path_cod = formats.add_ext(path, formats.CODES_EXT)
+    with open(path_cod, "wb") as fp:
+        formats.write_cod(fp, freq.mode, freq.block_sizes, block_codes)
+    report = StageReport(
+        module="t", n_blocks=freq.n_blocks, sizes_before=freq.block_sizes,
+        sizes_after=freq.block_sizes,
+        runtime_ms=(time.perf_counter() - t0) * 1e3,
+        generated=[path_cod],
+    )
+    return path, report
+
+
+# ---------------------------------------------------------------------------
+# Module C: bit-pack encode (c.c:306-472)
+# ---------------------------------------------------------------------------
+
+def module_c(path: str, backend: Backend) -> tuple[str, StageReport]:
+    t0 = time.perf_counter()
+    cod = formats.parse_cod(_open_read(formats.add_ext(path, formats.CODES_EXT)))
+    if not os.path.isfile(path):
+        raise FileInaccessibleError(path)
+    blocks = _read_blocks(path, cod.block_sizes)
+    payloads = backend.pack(blocks, cod.codes)
+    path_shafa = formats.add_ext(path, formats.SHAFA_EXT)
+    with open(path_shafa, "wb") as fp:
+        formats.write_shaf_header(fp, cod.n_blocks)
+        for p in payloads:
+            formats.write_shaf_block(fp, p)
+    report = StageReport(
+        module="c", n_blocks=cod.n_blocks, sizes_before=cod.block_sizes,
+        sizes_after=[len(p) for p in payloads],
+        runtime_ms=(time.perf_counter() - t0) * 1e3,
+        generated=[path_shafa],
+    )
+    return path_shafa, report
+
+
+# ---------------------------------------------------------------------------
+# Module D: decode (d.c:628-834) and RLE-only decode (d.c:232-388)
+# ---------------------------------------------------------------------------
+
+def module_d_shafa(path: str, rle_decompression: bool,
+                   backend: Backend) -> tuple[str, StageReport]:
+    t0 = time.perf_counter()
+    path_tmp = formats.rm_ext(path)  # strip .shaf
+    path_wrt = formats.rm_ext(path_tmp) if rle_decompression else path_tmp
+    cod = formats.parse_cod(_open_read(formats.add_ext(path_tmp, formats.CODES_EXT)))
+    # Mode legality (d.c:678): N forbids the RLE path; R allows both.
+    if not ((cod.mode == "N" and not rle_decompression) or cod.mode == "R"):
+        raise FileUnrecognizableError(".cod mode vs decompression type")
+    payloads = list(formats.iter_shaf_blocks(_open_read(path)))
+    if len(payloads) != cod.n_blocks:
+        raise FileUnrecognizableError("block count mismatch .shaf vs .cod")
+    decoded = backend.unpack(payloads, cod.codes, cod.block_sizes)
+    if rle_decompression:
+        out_blocks = backend.rle_expand(decoded)
+    else:
+        out_blocks = decoded
+    with open(path_wrt, "wb") as fp:
+        for b in out_blocks:
+            fp.write(b.tobytes())
+    report = StageReport(
+        module="d", n_blocks=cod.n_blocks,
+        sizes_before=[len(p) for p in payloads],
+        sizes_after=[b.size for b in out_blocks],
+        runtime_ms=(time.perf_counter() - t0) * 1e3,
+        generated=[path_wrt],
+        extra={"algo": "shafa_rle" if rle_decompression else "shafa"},
+    )
+    return path_wrt, report
+
+
+def module_d_rle(path: str, backend: Backend) -> tuple[str, StageReport]:
+    t0 = time.perf_counter()
+    freq = formats.parse_freq(_open_read(formats.add_ext(path, formats.FREQ_EXT)))
+    if freq.mode != "R":
+        raise FileUnrecognizableError(".freq mode must be R for RLE decode")
+    blocks = _read_blocks(path, freq.block_sizes)
+    out_blocks = backend.rle_expand(blocks)
+    path_wrt = formats.rm_ext(path)
+    with open(path_wrt, "wb") as fp:
+        for b in out_blocks:
+            fp.write(b.tobytes())
+    report = StageReport(
+        module="d", n_blocks=freq.n_blocks, sizes_before=freq.block_sizes,
+        sizes_after=[b.size for b in out_blocks],
+        runtime_ms=(time.perf_counter() - t0) * 1e3,
+        generated=[path_wrt],
+        extra={"algo": "rle"},
+    )
+    return path_wrt, report
