@@ -1,14 +1,158 @@
-"""JAX device backend: batches blocks into padded arrays, runs the kernels.
+"""JAX device backend: block batching, padding, kernel dispatch, fallbacks.
 
-Placeholder in this commit: falls back to the NumPy oracle until the JAX
-kernels land (kernels/). The Backend protocol is already final so the
-pipeline/CLI don't change when the device path arrives.
+Blocks of a file share one size (except the last), so a file's blocks stack
+into a (B, P) array: B is the data-parallel axis — the TPU replacement for
+the reference's thread-per-block pipeline (multithread.c:126-194). P is
+padded per jit-bucket to bound recompilation; true lengths mask the padding.
+
+Fallback policy: blocks whose code tables exceed the 32-bit kernel width
+(pathological skew) or whose packed size could overflow int32 bit offsets
+route to the numpy oracle — bit-exactness is never at risk from the fast
+path's static bounds.
 """
 
 from __future__ import annotations
 
-from .pipeline import NumpyBackend
+import numpy as np
+
+from . import codes as codes_mod
+from . import oracle
+from .kernels import decode as kdecode
+from .kernels import histogram as khist
+from .kernels import pack as kpack
+from .kernels import rle as krle
+
+#: Max elements per (B, P) device batch — bounds peak HBM across the ~20x
+#: int32 intermediates of the scan/scatter kernels.
+MAX_BATCH_ELEMS = 1 << 26
 
 
-class JaxBackend(NumpyBackend):
-    pass
+def _bucket(n: int, minimum: int = 256) -> int:
+    """Next power-of-two bucket (static shapes => bounded recompiles)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def _stack_blocks(blocks):
+    """list of 1-D uint8 -> (B, P) padded + (B,) lengths (host-side)."""
+    lens = np.array([b.size for b in blocks], dtype=np.int32)
+    p = _bucket(int(lens.max()) if len(blocks) else 1)
+    out = np.zeros((len(blocks), p), dtype=np.uint8)
+    for i, b in enumerate(blocks):
+        out[i, : b.size] = b
+    return out, lens
+
+
+def _batches(n_blocks: int, p: int):
+    bsz = max(1, MAX_BATCH_ELEMS // max(p, 1))
+    for lo in range(0, n_blocks, bsz):
+        yield lo, min(lo + bsz, n_blocks)
+
+
+class JaxBackend:
+    """Device implementation of the pipeline Backend protocol."""
+
+    def rle_encode(self, blocks):
+        if not blocks:
+            return []
+        out = []
+        stacked, lens = _stack_blocks(blocks)
+        for lo, hi in _batches(len(blocks), stacked.shape[1]):
+            enc, out_len = krle.rle_encode_batch(stacked[lo:hi], lens[lo:hi])
+            enc = np.asarray(enc)
+            out_len = np.asarray(out_len)
+            out.extend(enc[i, : out_len[i]] for i in range(hi - lo))
+        return out
+
+    def histogram(self, blocks):
+        if not blocks:
+            return []
+        stacked, lens = _stack_blocks(blocks)
+        out = []
+        for lo, hi in _batches(len(blocks), stacked.shape[1]):
+            h = khist.histogram_batch(stacked[lo:hi], lens[lo:hi])
+            out.extend(np.asarray(h).astype(np.int64))
+        return out
+
+    def pack(self, blocks, block_codes):
+        if not blocks:
+            return []
+        results: list[bytes | None] = [None] * len(blocks)
+        fast_idx, lut_lens, lut_vals = [], [], []
+        for i, (blk, cs) in enumerate(zip(blocks, block_codes)):
+            try:
+                ln, va = codes_mod.code_table_arrays(cs, width=32)
+            except OverflowError:
+                results[i] = self._pack_oracle(blk, cs)
+                continue
+            if int(ln.max()) * blk.size >= (1 << 31) - 64:
+                results[i] = self._pack_oracle(blk, cs)  # offset overflow risk
+                continue
+            fast_idx.append(i)
+            lut_lens.append(ln)
+            lut_vals.append(va)
+        if fast_idx:
+            stacked, lens = _stack_blocks([blocks[i] for i in fast_idx])
+            lens_arr = np.stack(lut_lens)
+            vals_arr = np.stack(lut_vals)
+            for lo, hi in _batches(len(fast_idx), stacked.shape[1]):
+                packed, plen = kpack.pack_batch(
+                    stacked[lo:hi], lens[lo:hi],
+                    lens_arr[lo:hi], vals_arr[lo:hi])
+                packed = np.asarray(packed)
+                plen = np.asarray(plen)
+                for j in range(hi - lo):
+                    results[fast_idx[lo + j]] = packed[j, : plen[j]].tobytes()
+        return results
+
+    @staticmethod
+    def _pack_oracle(blk, cs):
+        ln, va = codes_mod.code_table_arrays(cs, width=64)
+        return oracle.pack(blk, ln, va)
+
+    def unpack(self, payloads, block_codes, out_counts):
+        if not payloads:
+            return []
+        results: list[np.ndarray | None] = [None] * len(payloads)
+        fast_idx, tables = [], []
+        for i, cs in enumerate(block_codes):
+            try:
+                tables.append(kdecode.decode_tables_u32(cs))
+                fast_idx.append(i)
+            except (OverflowError, ValueError):
+                results[i] = oracle.unpack(payloads[i], cs, out_counts[i])
+        if fast_idx:
+            blocks = [np.frombuffer(payloads[i], np.uint8) for i in fast_idx]
+            stacked, plens = _stack_blocks(blocks)
+            counts = np.array([out_counts[i] for i in fast_idx], np.int32)
+            tab = kdecode.stack_decode_tables(tables)
+            out_p = _bucket(int(counts.max()))
+            for lo, hi in _batches(len(fast_idx), stacked.shape[1] * 8):
+                sub_tab = {k: v[lo:hi] for k, v in tab.items()}
+                out, underrun = kdecode.decode_batch(
+                    stacked[lo:hi], plens[lo:hi], sub_tab,
+                    counts[lo:hi], out_p)
+                out = np.asarray(out)
+                if bool(np.asarray(underrun).any()):
+                    raise ValueError("compressed stream exhausted early")
+                for j in range(hi - lo):
+                    i = fast_idx[lo + j]
+                    results[i] = out[j, : out_counts[i]]
+        return results
+
+    def rle_expand(self, blocks):
+        if not blocks:
+            return []
+        stacked, lens = _stack_blocks(blocks)
+        sizes = np.asarray(krle.rle_expand_sizes(stacked, lens))
+        out_p = _bucket(int(sizes.max()) if sizes.size else 1)
+        out = []
+        for lo, hi in _batches(len(blocks), max(stacked.shape[1], out_p)):
+            ex, ex_len = krle.rle_expand_batch(stacked[lo:hi], lens[lo:hi],
+                                               out_p)
+            ex = np.asarray(ex)
+            ex_len = np.asarray(ex_len)
+            out.extend(ex[i, : ex_len[i]] for i in range(hi - lo))
+        return out

@@ -1,0 +1,201 @@
+"""Shannon-Fano prefix decode — module D's trie walk (d.c:514-551), TPU-way.
+
+The reference walks a pointer trie bit-by-bit (~8 branches per compressed
+byte — its hottest loop). That cannot run on a vector machine; instead we
+exploit two structural facts of the reference's code construction (codes.py):
+
+  * the code set is COMPLETE (the split tree is full), so every 32-bit
+    window starting at a symbol boundary falls in exactly one code interval
+    [code << (32-len), next_code << (32-next_len));
+  * codes in rank order are lexicographically increasing, so "which code"
+    is a RANK: count of codes whose left-aligned value <= window.
+
+Pipeline (all batched over blocks, flat over bit positions):
+  1. windows    W[b] = 32 bits starting at bit b (byte shifts, no gather)
+  2. rank       hierarchical compare: 16 pivots -> group, 16 in-group
+                thresholds (fetched by one-hot matmul, exact via u16 halves)
+  3. len/sym    prefix-delta dot products against the same compare masks
+                (integer-exact in f32; avoids 256-entry gathers which are
+                ~90 Melem/s on v5e)
+  4. chain      symbol starts p0=0, p_{k+1} = p_k + len[p_k]: pointer
+                doubling with large-array gathers (~435 GB/s measured)
+  5. emit       gather sym at chain positions; positions past the known
+                output count are masked (decode terminates on count, not
+                input exhaustion — d.c:530).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_GROUPS = 16
+GROUP = 16
+
+
+# ---------------------------------------------------------------------------
+# Host-side table construction (per block; 256 entries — negligible)
+# ---------------------------------------------------------------------------
+
+def decode_tables_u32(codes: list[str]):
+    """Code strings -> fixed-shape decode tables for the kernel.
+
+    Returns dict of numpy arrays:
+      pc      (256,) uint32  left-aligned code values, rank order, padded 0
+      pivots  (16,)  uint32  pc[::16]
+      dlen2d  (16,16) int32  len deltas per rank (len[r]-len[r-1])
+      plen    (16,)  int32   sum of dlen over full groups < g (prefix)
+      dsym2d, psym           same for symbol values
+      n_codes ()     int32
+    Raises OverflowError for codes > 32 bits (backend falls back to oracle).
+    """
+    entries = [(len(c), int(c, 2), s) for s, c in enumerate(codes) if c]
+    if not entries:
+        raise ValueError("all-empty code table is undecodable")
+    if max(e[0] for e in entries) > 32:
+        raise OverflowError("code length > 32 bits")
+    rows = sorted((v << (32 - ln), ln, s) for ln, v, s in entries)
+    n = len(rows)
+    pc = np.zeros(256, np.uint32)
+    lens = np.zeros(256, np.int64)
+    syms = np.zeros(256, np.int64)
+    pc[:n] = [r[0] for r in rows]
+    lens[:n] = [r[1] for r in rows]
+    syms[:n] = [r[2] for r in rows]
+    dlen = np.diff(np.concatenate(([0], lens[:n])))
+    dsym = np.diff(np.concatenate(([0], syms[:n])))
+    dlen_p = np.zeros(256, np.int64)
+    dsym_p = np.zeros(256, np.int64)
+    dlen_p[:n] = dlen
+    dsym_p[:n] = dsym
+    dlen2d = dlen_p.reshape(16, 16)
+    dsym2d = dsym_p.reshape(16, 16)
+    plen = np.concatenate(([0], np.cumsum(dlen2d.sum(1))))[:16]
+    psym = np.concatenate(([0], np.cumsum(dsym2d.sum(1))))[:16]
+    return {
+        "pc": pc,
+        "pivots": pc[::16].copy(),
+        "dlen2d": dlen2d.astype(np.int32),
+        "plen": plen.astype(np.int32),
+        "dsym2d": dsym2d.astype(np.int32),
+        "psym": psym.astype(np.int32),
+        "n_codes": np.int32(n),
+    }
+
+
+def stack_decode_tables(tables: list[dict]):
+    return {k: np.stack([t[k] for t in tables]) for k in tables[0]}
+
+
+# ---------------------------------------------------------------------------
+# Device kernel
+# ---------------------------------------------------------------------------
+
+def _windows32(payload: jnp.ndarray) -> jnp.ndarray:
+    """(B, P) uint8 -> (B, 8P) uint32: 32-bit window at every bit position."""
+    b, p = payload.shape
+    by = payload.astype(jnp.uint32)
+
+    def sh(k):
+        return jnp.pad(by[:, k:], ((0, 0), (0, k)))
+
+    w32 = (by << 24) | (sh(1) << 16) | (sh(2) << 8) | sh(3)
+    b4 = sh(4)
+    outs = []
+    for s in range(8):
+        if s == 0:
+            outs.append(w32)
+        else:
+            outs.append((w32 << s) | (b4 >> (8 - s)))
+    # (B, P, 8) -> (B, 8P) bit-position order
+    return jnp.stack(outs, axis=2).reshape(b, 8 * p)
+
+
+def _rank_fields(w: jnp.ndarray, t: dict):
+    """Window values (B, N) uint32 + tables -> (len (B,N) i32, sym (B,N) i32).
+
+    Hierarchical rank: coarse group via 16 pivots, in-group thresholds via
+    one-hot matmul (u16 halves keep f32 matmuls exact), then prefix-delta
+    dot products give len/sym without any 256-entry gather.
+    """
+    b, n = w.shape
+    grp_ids = jnp.arange(N_GROUPS, dtype=jnp.int32)
+    n_codes = t["n_codes"][:, None]  # (B,1)
+
+    ge_piv = (w[..., None] >= t["pivots"][:, None, :]) \
+        & (grp_ids * GROUP < n_codes)[:, None, :]
+    c1 = ge_piv.sum(-1).astype(jnp.int32) - 1  # (B, N) group index
+
+    oh = (c1[..., None] == grp_ids).astype(jnp.float32)  # (B, N, 16)
+
+    def fetch16(tab2d_f32):  # (B,16,16) f32 -> (B,N,16) rows by group
+        # HIGHEST: TPU's default f32 matmul rounds through bf16, which
+        # corrupts the 16-bit table halves (values up to 65535).
+        return jax.lax.dot_general(
+            oh, tab2d_f32.astype(jnp.float32),
+            (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+    pc2d = t["pc"].reshape(b, 16, 16)
+    row_hi = fetch16((pc2d >> 16).astype(jnp.float32))
+    row_lo = fetch16((pc2d & 0xFFFF).astype(jnp.float32))
+    rows = (row_hi.astype(jnp.uint32) << 16) | row_lo.astype(jnp.uint32)
+
+    in_grp = jnp.arange(GROUP, dtype=jnp.int32)
+    gidx = c1[..., None] * GROUP + in_grp
+    ge_row = ((w[..., None] >= rows) & (gidx < n_codes[..., None])) \
+        .astype(jnp.float32)
+
+    def prefix_delta(d2d, pref):
+        part = jnp.sum(ge_row * fetch16(d2d.astype(jnp.float32)), axis=-1)
+        full = jnp.sum(oh.astype(jnp.float32)
+                       * pref[:, None, :].astype(jnp.float32), axis=-1)
+        return (part + full).astype(jnp.int32)
+
+    ln = prefix_delta(t["dlen2d"], t["plen"])
+    sym = prefix_delta(t["dsym2d"], t["psym"])
+    return ln, sym
+
+
+@functools.partial(jax.jit, static_argnames=("out_p",))
+def decode_batch(payload: jnp.ndarray, payload_lens: jnp.ndarray,
+                 tables: dict, out_counts: jnp.ndarray, out_p: int):
+    """(B, P) packed payloads -> ((B, out_p) uint8 symbols, mask info).
+
+    out_p: static padded output size (>= max out_counts in the batch).
+    Positions past out_counts are zero. Garbage decode of padding bits is
+    harmless: termination is by count, like the reference.
+    """
+    b, p = payload.shape
+    nbits = 8 * p
+    w = _windows32(payload)
+    ln, sym = _rank_fields(w, tables)
+
+    # Chain over flattened rows with absorbing state at each row's end.
+    n_valid_bits = payload_lens * 8
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, nbits), 1)
+    nxt = jnp.minimum(pos + ln, nbits)
+    base = (jnp.arange(b, dtype=jnp.int32) * (nbits + 1))[:, None]
+    jump_flat = jnp.concatenate([base + nxt, base + nbits], axis=1).ravel()
+
+    posn = base  # (B,1) local 0
+    stride = jump_flat
+    m = 1
+    while m < out_p:
+        posn = jnp.concatenate([posn, stride[posn]], axis=1)
+        stride = stride[stride]
+        m *= 2
+    posn = posn[:, :out_p] - base  # local bit positions, nbits == absorbed
+
+    k = jax.lax.broadcasted_iota(jnp.int32, (b, out_p), 1)
+    ok = (k < out_counts[:, None]) & (posn < n_valid_bits[:, None])
+    flat_sym = ((jnp.arange(b, dtype=jnp.int32) * nbits)[:, None]
+                + jnp.minimum(posn, nbits - 1)).ravel()
+    out = jnp.where(ok, sym.ravel()[flat_sym].reshape(b, out_p), 0)
+    # error flag: requested more symbols than the stream contains
+    underrun = jnp.any((k < out_counts[:, None]) & ~ok, axis=1)
+    return out.astype(jnp.uint8), underrun

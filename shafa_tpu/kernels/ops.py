@@ -1,0 +1,72 @@
+"""Shared device primitives: cumsum helpers, LUT application, chains.
+
+These are the TPU-friendly building blocks the codec kernels compose.
+Everything is shape-static and jit-safe; batch dimension B is blocks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def exclusive_cumsum(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    inc = jnp.cumsum(x, axis=axis)
+    return inc - x
+
+
+def lut_nibble(x: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """table[x] for byte-valued x via 4-bit one-hot bilinear form on the MXU.
+
+    Direct 256-entry gathers run at ~90 Melem/s on v5e; this runs >10x faster.
+    `table` must be integer-valued with |values| < 2**24: the one-hot rows
+    select a single table entry per output, and f32 carries integers up to
+    2**24 exactly. Precision HIGHEST is required: TPU's default f32 matmul
+    does bf16 multiplies, which round table values above 2**8.
+    """
+    tab2d = table.reshape(16, 16).astype(jnp.float32)
+    i16 = jnp.arange(16, dtype=x.dtype)
+    oh_hi = (x[..., None] >> 4 == i16).astype(jnp.float32)
+    oh_lo = (x[..., None] & 15 == i16).astype(jnp.float32)
+    mid = jax.lax.dot_general(
+        oh_hi, tab2d, (((x.ndim,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    return jnp.sum(mid * oh_lo, axis=-1).astype(jnp.int32)
+
+
+def lut_nibble_u32(x: jnp.ndarray, table_u32: np.ndarray) -> jnp.ndarray:
+    """table[x] for a uint32-valued table: two exact 16-bit-half lookups."""
+    hi = lut_nibble(x, jnp.asarray((table_u32 >> 16).astype(np.int32)))
+    lo = lut_nibble(x, jnp.asarray((table_u32 & 0xFFFF).astype(np.int32)))
+    return (hi.astype(jnp.uint32) << 16) | lo.astype(jnp.uint32)
+
+
+def segment_fill(markers: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Segment ids from start markers: cumsum(markers) - 1."""
+    return jnp.cumsum(markers.astype(jnp.int32), axis=axis) - 1
+
+
+def start_index_fill(is_start: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """For every position, the index of its segment's start (cummax trick)."""
+    pos = jax.lax.broadcasted_iota(jnp.int32, is_start.shape, is_start.ndim - 1)
+    return jax.lax.cummax(jnp.where(is_start, pos, 0), axis=axis)
+
+
+def chain_positions(jump: jnp.ndarray, count: int) -> jnp.ndarray:
+    """First `count` iterates of 0 under i -> jump[i] (pointer doubling).
+
+    jump: (n+1,) int32 with absorbing state n (jump[n] == n). Returns (count,)
+    increasing positions; entries past stream end equal n. Large-array gathers
+    are fast on TPU (~435 GB/s), so each doubling round is bandwidth-bound.
+    """
+    rounds = max(1, int(np.ceil(np.log2(max(count, 2)))))
+    pos = jnp.zeros(1, jnp.int32)
+    stride = jump
+    for _ in range(rounds):
+        if pos.shape[0] >= count:
+            break
+        pos = jnp.concatenate([pos, stride[pos]])
+        stride = stride[stride]
+    return pos[:count]

@@ -1,0 +1,169 @@
+"""RLE encode/expand — module F's block_compression (f.c:29-55) and module
+D's rle_block_decompressor (d.c:116-197), as batched segment-scan kernels.
+
+Encode formulation (no byte-serial loop):
+  1. run boundaries  change[i] = (i==0) | (x[i] != x[i-1])
+  2. 255-cap splits  sub_start = change | ((i - run_start) % 255 == 0)
+  3. per-position sub geometry via cummax / reverse-cummin — every quantity
+     (sub start, sub length, escape decision) is computable POINTWISE because
+     all bytes of a sub-segment share the same symbol and length
+  4. per-position output contribution (escape start: 3, literal: 1, else 0)
+     -> exclusive cumsum = output offsets
+  5. three sorted scatter-adds emit `00 sym count` triples and literals;
+     masked lanes write a ZERO VALUE at their (in-range, monotone) offset so
+     the sorted-scatter fast path stays valid.
+
+Escape rule parity with the reference: a sub-segment is escaped iff its
+length >= 4 or its symbol is 0x00; literals of short runs are emitted one
+byte per position (f.c:47-52 advances by one). Runs never cross the true
+block end (mask), and never cross the 255 cap.
+
+Expand formulation: token starts form a chain i -> i + (3 if x[i]==0 else 1)
+(a 0x00 may be escape payload, so token boundaries are history-dependent);
+the chain is resolved by pointer doubling over a flattened per-row jump
+table, then output is built by marker scatter + cumsum segment-fill +
+take_along_axis.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .ops import exclusive_cumsum
+
+MAX_RUN = 255
+MIN_ESCAPE_RUN = 4
+
+
+def rle_out_bound(p: int) -> int:
+    """Worst-case RLE output for a p-byte block (alternating 0,x doubles)."""
+    return 2 * p + 8
+
+
+@jax.jit
+def rle_encode_batch(x: jnp.ndarray, lengths: jnp.ndarray):
+    """(B, P) uint8 + (B,) lengths -> ((B, 2P+8) uint8, (B,) out lengths)."""
+    b, p = x.shape
+    out_p = rle_out_bound(p)
+    xi = x.astype(jnp.int32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, p), 1)
+    valid = pos < lengths[:, None]
+
+    prev = jnp.pad(xi[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+    change = (xi != prev) | (pos == 0)
+    run_start = jax.lax.cummax(jnp.where(change, pos, 0), axis=1)
+    sub_start = (change | ((pos - run_start) % MAX_RUN == 0)) & valid
+
+    # Next sub start strictly after i == this sub's end (for i inside a sub).
+    start_pos = jnp.where(sub_start, pos, p)
+    nxt = jax.lax.cummin(start_pos[:, ::-1], axis=1)[:, ::-1]
+    nxt_after = jnp.concatenate(
+        [nxt[:, 1:], jnp.full((b, 1), p, jnp.int32)], axis=1)
+    sub_end = jnp.minimum(nxt_after, lengths[:, None])
+    sstart = jax.lax.cummax(jnp.where(sub_start, pos, 0), axis=1)
+    sub_len = sub_end - sstart  # same value at every position of the sub
+
+    escaped = (sub_len >= MIN_ESCAPE_RUN) | (xi == 0)  # pointwise-correct
+    contrib = jnp.where(valid,
+                        jnp.where(escaped, jnp.where(sub_start, 3, 0), 1), 0)
+    off = exclusive_cumsum(contrib, axis=1)
+    out_len = off[:, -1] + contrib[:, -1]
+
+    # Emission: masked lanes add 0 at a monotone in-range index so
+    # indices_are_sorted holds for the scatter fast path.
+    flat_idx = ((jnp.arange(b, dtype=jnp.int32) * out_p)[:, None] + off).ravel()
+    emit_first = valid & (~escaped | sub_start)  # literal byte or escape 0x00
+    emit_esc = valid & escaped & sub_start
+    val0 = jnp.where(emit_first, jnp.where(escaped, 0, xi), 0).ravel()
+    val1 = jnp.where(emit_esc, xi, 0).ravel()
+    val2 = jnp.where(emit_esc, sub_len, 0).ravel()
+
+    out = jnp.zeros(b * out_p, jnp.int32)
+    out = out.at[flat_idx].add(val0, indices_are_sorted=True, mode="drop")
+    out = out.at[flat_idx + 1].add(val1, indices_are_sorted=True, mode="drop")
+    out = out.at[flat_idx + 2].add(val2, indices_are_sorted=True, mode="drop")
+    return out.reshape(b, out_p).astype(jnp.uint8), out_len
+
+
+def _token_starts(xi: jnp.ndarray) -> jnp.ndarray:
+    """Token-start mask per row: orbit of 0 under i -> i + (3 if 0x00 else 1).
+
+    Pointer doubling over a flattened per-row jump table (absorbing state at
+    each row's end), then a scatter-max marks visited positions.
+    """
+    b, p = xi.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, p), 1)
+    step = jnp.where(xi == 0, 3, 1)
+    nxt = jnp.minimum(pos + step, p)  # local jump, absorbing at p
+    base = (jnp.arange(b, dtype=jnp.int32) * (p + 1))[:, None]
+    jump_flat = jnp.concatenate([base + nxt, base + p], axis=1).ravel()
+
+    posn = base  # (b, 1): local position 0 of every row
+    stride = jump_flat
+    m = 1
+    while m < p:
+        posn = jnp.concatenate([posn, stride[posn]], axis=1)
+        stride = stride[stride]
+        m *= 2
+    local = posn - base  # (b, >=p); p == absorbed (past end)
+    flat = jnp.where(local < p,
+                     (jnp.arange(b, dtype=jnp.int32) * p)[:, None] + local,
+                     b * p).ravel()
+    mask = jnp.zeros(b * p, jnp.int32).at[flat].max(1, mode="drop")
+    return mask.reshape(b, p).astype(bool)
+
+
+def _token_fields(x: jnp.ndarray, lengths: jnp.ndarray):
+    xi = x.astype(jnp.int32)
+    b, p = xi.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, p), 1)
+    valid = pos < lengths[:, None]
+    is_start = _token_starts(xi) & valid
+    x1 = jnp.pad(xi[:, 1:], ((0, 0), (0, 1)))
+    x2 = jnp.pad(xi[:, 2:], ((0, 0), (0, 2)))
+    esc = is_start & (xi == 0)
+    sym = jnp.where(esc, x1, xi)
+    # zero-count escape emits one copy (d.c:179-184)
+    cnt = jnp.where(is_start, jnp.where(esc, jnp.maximum(x2, 1), 1), 0)
+    return is_start, sym, cnt
+
+
+@jax.jit
+def rle_expand_sizes(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Exact decompressed size per row (cheap pre-pass to size buffers)."""
+    _, _, cnt = _token_fields(x, lengths)
+    return cnt.sum(axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("out_p",))
+def rle_expand_batch(x: jnp.ndarray, lengths: jnp.ndarray, out_p: int):
+    """(B, P) uint8 RLE streams -> ((B, out_p) uint8, (B,) output lengths).
+
+    out_p must be >= the largest decompressed block in the batch (caller
+    computes exact sizes via rle_expand_sizes and pads to a bucket).
+    """
+    b, p = x.shape
+    is_start, sym, cnt = _token_fields(x, lengths)
+    off = exclusive_cumsum(cnt, axis=1)
+    out_len = off[:, -1] + cnt[:, -1]
+
+    # Compact per-token symbols (masked lanes add 0 at a monotone index).
+    tok_idx = exclusive_cumsum(is_start.astype(jnp.int32), axis=1)
+    flat_tok = ((jnp.arange(b, dtype=jnp.int32) * p)[:, None] + tok_idx).ravel()
+    sym_c = jnp.zeros(b * p, jnp.int32).at[flat_tok].add(
+        jnp.where(is_start, sym, 0).ravel(),
+        indices_are_sorted=True, mode="drop").reshape(b, p)
+
+    # Token-start markers in output space -> segment fill -> gather symbols.
+    flat_out = ((jnp.arange(b, dtype=jnp.int32) * out_p)[:, None] + off).ravel()
+    markers = jnp.zeros(b * out_p, jnp.int32).at[flat_out].add(
+        jnp.where(is_start, 1, 0).ravel(),
+        indices_are_sorted=True, mode="drop").reshape(b, out_p)
+    token_of = jnp.cumsum(markers, axis=1) - 1
+    out = jnp.take_along_axis(sym_c, jnp.maximum(token_of, 0), axis=1)
+    out_pos = jax.lax.broadcasted_iota(jnp.int32, (b, out_p), 1)
+    out = jnp.where(out_pos < out_len[:, None], out, 0)
+    return out.astype(jnp.uint8), out_len

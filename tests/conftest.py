@@ -1,13 +1,20 @@
 """Test env: force JAX onto a virtual 8-device CPU platform so sharding tests
 run without TPU hardware (SURVEY.md §4 'Distributed level'). Must be set
-before jax imports anywhere in the test process."""
+before jax imports anywhere in the test process.
+
+NOTE: in the dev container a sitecustomize.py (PYTHONPATH=/root/.axon_site)
+registers a remote-TPU PJRT plugin in every interpreter and can block at
+startup waiting for a device grant. Run tests with the plugin bypassed:
+
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m pytest tests/ -q
+"""
 
 import os
 import shutil
 import subprocess
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
