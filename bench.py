@@ -1,0 +1,103 @@
+"""Benchmark: end-to-end compress throughput (modules F+T+C) on device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md): the C reference compresses 100 MB in 653 ms (F) +
+0.33 ms (T) + 551 ms (C) = 1.204 s => 83.1 MB/s end-to-end on a 2-vCPU
+x86-64 host. vs_baseline is our MB/s over that 83.1 MB/s.
+
+Method: 100 MB mixed-entropy synthetic input (runs + text, ~ the survey's
+workload), 8 MiB blocks. One full warm-up pass first (XLA compile, ~20-40 s
+on a cold cache), then the timed pass on fresh copies of the input; the
+timed pass includes host file IO and sidecar writes, like the reference's
+own module timing. A round-trip decode + bit-compare guards the number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+BASELINE_MBPS = 83.1
+SIZE = int(os.environ.get("SHAFA_BENCH_SIZE", 100 * 1000 * 1000))
+
+
+def synthetic(n: int, seed: int = 0) -> bytes:
+    """Mixed-entropy corpus: interleaved runs, text-ish bytes, noise."""
+    rng = np.random.default_rng(seed)
+    parts = []
+    total = 0
+    while total < n:
+        kind = rng.integers(0, 3)
+        ln = int(rng.integers(2000, 60000))
+        if kind == 0:
+            parts.append(np.full(ln, rng.integers(0, 256), np.uint8))
+        elif kind == 1:
+            parts.append(rng.integers(32, 127, ln).astype(np.uint8))
+        else:
+            parts.append(rng.integers(0, 256, ln).astype(np.uint8))
+        total += ln
+    return np.concatenate(parts)[:n].tobytes()
+
+
+def compress(path: str, backend) -> None:
+    from shafa_tpu import pipeline
+    p, _ = pipeline.module_f(path, force_rle=False, force_freq=False,
+                             block_size=8 << 20, backend=backend)
+    p, _ = pipeline.module_t(p)
+    pipeline.module_c(p, backend)
+
+
+def main() -> None:
+    from shafa_tpu import pipeline
+    from shafa_tpu.pipeline import get_backend
+
+    backend = get_backend(os.environ.get("SHAFA_BENCH_BACKEND", "jax"))
+    data = synthetic(SIZE)
+    work = tempfile.mkdtemp(prefix="shafa_bench_")
+    try:
+        warm = os.path.join(work, "warm.bin")
+        with open(warm, "wb") as fp:
+            fp.write(data)
+        t0 = time.perf_counter()
+        compress(warm, backend)
+        print(f"warmup+compile pass: {time.perf_counter() - t0:.2f}s",
+              file=sys.stderr)
+
+        # round-trip guard on the warm-up outputs
+        shaf = next(f for f in os.listdir(work) if f.endswith(".shaf"))
+        rle_mode = ".rle." in shaf
+        os.rename(warm, warm + ".orig")
+        p, _ = pipeline.module_d_shafa(os.path.join(work, shaf),
+                                       rle_decompression=rle_mode,
+                                       backend=backend)
+        with open(p, "rb") as fp:
+            assert fp.read() == data, "round trip mismatch"
+        print("round trip bit-exact", file=sys.stderr)
+
+        timed = os.path.join(work, "timed.bin")
+        with open(timed, "wb") as fp:
+            fp.write(data)
+        t0 = time.perf_counter()
+        compress(timed, backend)
+        dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    mbps = SIZE / 1e6 / dt
+    print(json.dumps({
+        "metric": "compress_throughput_e2e",
+        "value": round(mbps, 2),
+        "unit": "MB/s",
+        "vs_baseline": round(mbps / BASELINE_MBPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -52,7 +52,59 @@ def _batches(n_blocks: int, p: int):
 
 
 class JaxBackend:
-    """Device implementation of the pipeline Backend protocol."""
+    """Device implementation of the pipeline Backend protocol.
+
+    With ``mesh=None`` kernels run single-device. With a mesh (dist.block_mesh)
+    every kernel shard_maps its block axis over the mesh — the multi-chip path
+    (SURVEY.md §5.8); results come back in block order, so outputs are
+    byte-identical regardless of device count.
+    """
+
+    def __init__(self, mesh=None):
+        if mesh is not None:
+            from .dist import ShardedKernels
+            self._sk = ShardedKernels(mesh)
+        else:
+            self._sk = None
+
+    # -- kernel dispatch (single-device or sharded) -------------------------
+
+    def _k_rle_encode(self, x, lens):
+        if self._sk:
+            return self._sk.rle_encode(x, lens)
+        enc, n = krle.rle_encode_batch(x, lens)
+        return np.asarray(enc), np.asarray(n)
+
+    def _k_histogram(self, x, lens):
+        if self._sk:
+            return self._sk.histogram(x, lens)
+        return np.asarray(khist.histogram_batch(x, lens))
+
+    def _k_pack(self, x, lens, cl, cv):
+        if self._sk:
+            return self._sk.pack(x, lens, cl, cv)
+        packed, plen = kpack.pack_batch(x, lens, cl, cv)
+        return np.asarray(packed), np.asarray(plen)
+
+    def _k_decode(self, payload, plens, tables, counts, out_p):
+        if self._sk:
+            return self._sk.decode(payload, plens, tables, counts, out_p)
+        out, under = kdecode.decode_batch(payload, plens, tables, counts,
+                                          out_p)
+        return np.asarray(out), np.asarray(under)
+
+    def _k_expand_sizes(self, x, lens):
+        if self._sk:
+            return self._sk.expand_sizes(x, lens)
+        return np.asarray(krle.rle_expand_sizes(x, lens))
+
+    def _k_expand(self, x, lens, out_p):
+        if self._sk:
+            return self._sk.expand(x, lens, out_p)
+        out, n = krle.rle_expand_batch(x, lens, out_p)
+        return np.asarray(out), np.asarray(n)
+
+    # -- Backend protocol ---------------------------------------------------
 
     def rle_encode(self, blocks):
         if not blocks:
@@ -60,9 +112,7 @@ class JaxBackend:
         out = []
         stacked, lens = _stack_blocks(blocks)
         for lo, hi in _batches(len(blocks), stacked.shape[1]):
-            enc, out_len = krle.rle_encode_batch(stacked[lo:hi], lens[lo:hi])
-            enc = np.asarray(enc)
-            out_len = np.asarray(out_len)
+            enc, out_len = self._k_rle_encode(stacked[lo:hi], lens[lo:hi])
             out.extend(enc[i, : out_len[i]] for i in range(hi - lo))
         return out
 
@@ -72,7 +122,7 @@ class JaxBackend:
         stacked, lens = _stack_blocks(blocks)
         out = []
         for lo, hi in _batches(len(blocks), stacked.shape[1]):
-            h = khist.histogram_batch(stacked[lo:hi], lens[lo:hi])
+            h = self._k_histogram(stacked[lo:hi], lens[lo:hi])
             out.extend(np.asarray(h).astype(np.int64))
         return out
 
@@ -98,11 +148,9 @@ class JaxBackend:
             lens_arr = np.stack(lut_lens)
             vals_arr = np.stack(lut_vals)
             for lo, hi in _batches(len(fast_idx), stacked.shape[1]):
-                packed, plen = kpack.pack_batch(
+                packed, plen = self._k_pack(
                     stacked[lo:hi], lens[lo:hi],
                     lens_arr[lo:hi], vals_arr[lo:hi])
-                packed = np.asarray(packed)
-                plen = np.asarray(plen)
                 for j in range(hi - lo):
                     results[fast_idx[lo + j]] = packed[j, : plen[j]].tobytes()
         return results
@@ -131,11 +179,10 @@ class JaxBackend:
             out_p = _bucket(int(counts.max()))
             for lo, hi in _batches(len(fast_idx), stacked.shape[1] * 8):
                 sub_tab = {k: v[lo:hi] for k, v in tab.items()}
-                out, underrun = kdecode.decode_batch(
+                out, underrun = self._k_decode(
                     stacked[lo:hi], plens[lo:hi], sub_tab,
                     counts[lo:hi], out_p)
-                out = np.asarray(out)
-                if bool(np.asarray(underrun).any()):
+                if bool(underrun.any()):
                     raise ValueError("compressed stream exhausted early")
                 for j in range(hi - lo):
                     i = fast_idx[lo + j]
@@ -146,13 +193,10 @@ class JaxBackend:
         if not blocks:
             return []
         stacked, lens = _stack_blocks(blocks)
-        sizes = np.asarray(krle.rle_expand_sizes(stacked, lens))
+        sizes = self._k_expand_sizes(stacked, lens)
         out_p = _bucket(int(sizes.max()) if sizes.size else 1)
         out = []
         for lo, hi in _batches(len(blocks), max(stacked.shape[1], out_p)):
-            ex, ex_len = krle.rle_expand_batch(stacked[lo:hi], lens[lo:hi],
-                                               out_p)
-            ex = np.asarray(ex)
-            ex_len = np.asarray(ex_len)
+            ex, ex_len = self._k_expand(stacked[lo:hi], lens[lo:hi], out_p)
             out.extend(ex[i, : ex_len[i]] for i in range(hi - lo))
         return out
