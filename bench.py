@@ -24,6 +24,14 @@ import time
 
 import numpy as np
 
+# Persistent XLA compilation cache: the dominant first-run cost is kernel
+# compilation (~6 kernels x large shapes); cache it across processes so the
+# driver's bench runs pay it once per shape, not once per invocation.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 BASELINE_MBPS = 83.1
 SIZE = int(os.environ.get("SHAFA_BENCH_SIZE", 100 * 1000 * 1000))
 
@@ -46,12 +54,15 @@ def synthetic(n: int, seed: int = 0) -> bytes:
     return np.concatenate(parts)[:n].tobytes()
 
 
-def compress(path: str, backend) -> None:
+def compress(path: str, backend, verbose: bool = False) -> None:
     from shafa_tpu import pipeline
-    p, _ = pipeline.module_f(path, force_rle=False, force_freq=False,
-                             block_size=8 << 20, backend=backend)
-    p, _ = pipeline.module_t(p)
-    pipeline.module_c(p, backend)
+    p, rf = pipeline.module_f(path, force_rle=False, force_freq=False,
+                              block_size=8 << 20, backend=backend)
+    p, rt = pipeline.module_t(p)
+    _, rc = pipeline.module_c(p, backend)
+    if verbose:
+        print(f"stages: F={rf.runtime_ms:.0f}ms T={rt.runtime_ms:.0f}ms "
+              f"C={rc.runtime_ms:.0f}ms", file=sys.stderr)
 
 
 def main() -> None:
@@ -66,7 +77,7 @@ def main() -> None:
         with open(warm, "wb") as fp:
             fp.write(data)
         t0 = time.perf_counter()
-        compress(warm, backend)
+        compress(warm, backend, verbose=True)
         print(f"warmup+compile pass: {time.perf_counter() - t0:.2f}s",
               file=sys.stderr)
 
@@ -85,7 +96,7 @@ def main() -> None:
         with open(timed, "wb") as fp:
             fp.write(data)
         t0 = time.perf_counter()
-        compress(timed, backend)
+        compress(timed, backend, verbose=True)
         dt = time.perf_counter() - t0
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -25,6 +25,7 @@ Useful structural facts (used by the TPU decoder, kernels/decode.py):
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Sequence
 
 import numpy as np
@@ -103,6 +104,78 @@ def build_codes(freqs: Sequence[int]) -> list[str]:
     for rank, sym in enumerate(order):
         out[int(sym)] = rank_codes[rank]
     return out
+
+
+@dataclasses.dataclass
+class CodeTables:
+    """Batched code tables: the array-native interchange for code sets.
+
+    lens[b, s] = bit length of symbol s's code in block b (0 = absent);
+    vals[b, s] = the code bits LEFT-ALIGNED in a uint64 (MSB-first), the
+    orientation the .shaf packer consumes (c.c:133-146).
+
+    64 bits cover every producible code: each Shannon-Fano level beyond
+    log2(255) requires the leading frequency to exceed the sum of the rest,
+    so depth d needs a block of >= 2^(d-9) bytes — depth 64 would need an
+    impossible 2^55-byte block.  Codes longer than 64 bits (hand-crafted
+    .cod files only) live in `overflow` as raw strings; consumers route
+    those rows to the string-based slow paths.
+    """
+
+    lens: np.ndarray  # (n, 256) uint8
+    vals: np.ndarray  # (n, 256) uint64
+    overflow: dict[int, list[str]] = dataclasses.field(default_factory=dict)
+
+    def __len__(self) -> int:
+        return self.lens.shape[0]
+
+    def row_strings(self, i: int) -> list[str]:
+        """Code strings of block i (symbol order) — for slow-path fallbacks."""
+        if i in self.overflow:
+            return self.overflow[i]
+        out = []
+        for s in range(NUM_SYMBOLS):
+            n = int(self.lens[i, s])
+            v = int(self.vals[i, s]) >> (64 - n) if n else 0
+            out.append(format(v, f"0{n}b") if n else "")
+        return out
+
+    def to_strings(self) -> list[list[str]]:
+        return [self.row_strings(i) for i in range(len(self))]
+
+    @classmethod
+    def from_strings(cls, block_codes: Sequence[Sequence[str]]) -> "CodeTables":
+        n = len(block_codes)
+        lens = np.zeros((n, NUM_SYMBOLS), np.uint8)
+        vals = np.zeros((n, NUM_SYMBOLS), np.uint64)
+        overflow: dict[int, list[str]] = {}
+        for i, cs in enumerate(block_codes):
+            if max((len(c) for c in cs), default=0) > 64:
+                overflow[i] = list(cs)
+                continue
+            for s, c in enumerate(cs):
+                if c:
+                    lens[i, s] = len(c)
+                    vals[i, s] = np.uint64(int(c, 2) << (64 - len(c)))
+        return cls(lens, vals, overflow)
+
+
+def build_code_tables(freqs: np.ndarray) -> CodeTables:
+    """Batched module T: (n, 256) histograms -> CodeTables.
+
+    Uses the native runtime (runtime/runtime.cpp, threaded C++) when
+    available; otherwise the per-block Python path above. Both are bit-exact
+    with the reference (differential-tested in tests/test_runtime_native.py).
+    """
+    f = np.ascontiguousarray(freqs, dtype=np.int64)
+    if f.ndim != 2 or f.shape[1] != NUM_SYMBOLS:
+        raise ValueError("need (n, 256) frequencies")
+    from . import runtime
+    native = runtime.build_codes(f)
+    if native is not None:
+        lens, vals = native
+        return CodeTables(lens, vals)
+    return CodeTables.from_strings([build_codes(row) for row in f])
 
 
 def code_table_arrays(codes: Sequence[str], width: int = 32):

@@ -126,27 +126,27 @@ class JaxBackend:
             out.extend(np.asarray(h).astype(np.int64))
         return out
 
-    def pack(self, blocks, block_codes):
+    def pack(self, blocks, tables):
+        """blocks + codes.CodeTables (row i = block i's table) -> payloads."""
         if not blocks:
             return []
         results: list[bytes | None] = [None] * len(blocks)
-        fast_idx, lut_lens, lut_vals = [], [], []
-        for i, (blk, cs) in enumerate(zip(blocks, block_codes)):
-            try:
-                ln, va = codes_mod.code_table_arrays(cs, width=32)
-            except OverflowError:
-                results[i] = self._pack_oracle(blk, cs)
-                continue
-            if int(ln.max()) * blk.size >= (1 << 31) - 64:
-                results[i] = self._pack_oracle(blk, cs)  # offset overflow risk
-                continue
-            fast_idx.append(i)
-            lut_lens.append(ln)
-            lut_vals.append(va)
+        maxlen = tables.lens.max(axis=1)
+        fast_idx = []
+        for i, blk in enumerate(blocks):
+            if i in tables.overflow:
+                results[i] = oracle.slow_pack(blk.tobytes(),
+                                              tables.row_strings(i))
+            elif maxlen[i] > 32 or int(maxlen[i]) * blk.size >= (1 << 31) - 64:
+                # 32-bit kernel LUT width / int32 bit-offset overflow: oracle
+                results[i] = oracle.pack(blk, tables.lens[i], tables.vals[i])
+            else:
+                fast_idx.append(i)
         if fast_idx:
             stacked, lens = _stack_blocks([blocks[i] for i in fast_idx])
-            lens_arr = np.stack(lut_lens)
-            vals_arr = np.stack(lut_vals)
+            lens_arr = tables.lens[fast_idx].astype(np.int32)
+            vals_arr = (tables.vals[fast_idx] >> np.uint64(32)) \
+                .astype(np.uint32)
             for lo, hi in _batches(len(fast_idx), stacked.shape[1]):
                 packed, plen = self._k_pack(
                     stacked[lo:hi], lens[lo:hi],
@@ -155,27 +155,25 @@ class JaxBackend:
                     results[fast_idx[lo + j]] = packed[j, : plen[j]].tobytes()
         return results
 
-    @staticmethod
-    def _pack_oracle(blk, cs):
-        ln, va = codes_mod.code_table_arrays(cs, width=64)
-        return oracle.pack(blk, ln, va)
-
-    def unpack(self, payloads, block_codes, out_counts):
+    def unpack(self, payloads, tables, out_counts):
         if not payloads:
             return []
         results: list[np.ndarray | None] = [None] * len(payloads)
-        fast_idx, tables = [], []
-        for i, cs in enumerate(block_codes):
-            try:
-                tables.append(kdecode.decode_tables_u32(cs))
+        maxlen = tables.lens.max(axis=1)
+        n_codes = (tables.lens > 0).sum(axis=1)
+        fast_idx = []
+        for i in range(len(payloads)):
+            if i in tables.overflow or maxlen[i] > 32 or n_codes[i] == 0:
+                results[i] = oracle.unpack(payloads[i], tables.row_strings(i),
+                                           out_counts[i])
+            else:
                 fast_idx.append(i)
-            except (OverflowError, ValueError):
-                results[i] = oracle.unpack(payloads[i], cs, out_counts[i])
         if fast_idx:
             blocks = [np.frombuffer(payloads[i], np.uint8) for i in fast_idx]
             stacked, plens = _stack_blocks(blocks)
             counts = np.array([out_counts[i] for i in fast_idx], np.int32)
-            tab = kdecode.stack_decode_tables(tables)
+            tab = kdecode.decode_tables_batch(tables.lens[fast_idx],
+                                              tables.vals[fast_idx])
             out_p = _bucket(int(counts.max()))
             for lo, hi in _batches(len(fast_idx), stacked.shape[1] * 8):
                 sub_tab = {k: v[lo:hi] for k, v in tab.items()}

@@ -151,6 +151,39 @@ def read_freq(path: str) -> FreqFile:
         return parse_freq(fp.read())
 
 
+def write_freq_arrays(fp: IO[bytes], mode: str, block_sizes,
+                      freqs_2d) -> None:
+    """Array-native .freq writer (same bytes as write_freq).
+
+    Uses the C++ runtime when available; the Python writer is the fallback
+    and the spec.
+    """
+    from . import runtime
+    import numpy as np
+    f = np.ascontiguousarray(freqs_2d, dtype=np.int64)
+    data = runtime.write_freq(mode, block_sizes, f)
+    if data is not None:
+        fp.write(data)
+        return
+    write_freq(fp, mode, list(block_sizes), f.tolist())
+
+
+def parse_freq_arrays(data: bytes):
+    """bytes -> (mode, sizes list[int], freqs (n,256) int64 ndarray).
+
+    Native fast path; falls back to parse_freq (which carries the exact
+    error diagnostics) on unavailability or malformed input.
+    """
+    from . import runtime
+    import numpy as np
+    out = runtime.parse_freq(data)
+    if out is not None:
+        mode, sizes, freqs = out
+        return mode, sizes.tolist(), freqs
+    ff = parse_freq(data)
+    return ff.mode, ff.block_sizes, np.asarray(ff.freqs, dtype=np.int64)
+
+
 # ---------------------------------------------------------------------------
 # .cod
 # ---------------------------------------------------------------------------
@@ -210,6 +243,34 @@ def read_cod(path: str) -> CodFile:
         return parse_cod(fp.read())
 
 
+def write_cod_tables(fp: IO[bytes], mode: str, block_sizes, tables) -> None:
+    """Array-native .cod writer taking a codes.CodeTables (same bytes as
+    write_cod on the equivalent strings)."""
+    from . import runtime
+    if not tables.overflow:
+        data = runtime.write_cod(mode, block_sizes, tables.lens, tables.vals)
+        if data is not None:
+            fp.write(data)
+            return
+    write_cod(fp, mode, list(block_sizes), tables.to_strings())
+
+
+def parse_cod_tables(data: bytes):
+    """bytes -> (mode, sizes list[int], codes.CodeTables).
+
+    Native fast path; the Python parser handles unavailability, malformed
+    input (exact diagnostics), and >64-bit codes (CodeTables.overflow).
+    """
+    from . import runtime
+    from .codes import CodeTables
+    out = runtime.parse_cod(data)
+    if out is not None:
+        mode, sizes, lens, vals = out
+        return mode, sizes.tolist(), CodeTables(lens, vals)
+    cf = parse_cod(data)
+    return cf.mode, cf.block_sizes, CodeTables.from_strings(cf.codes)
+
+
 # ---------------------------------------------------------------------------
 # .shaf
 # ---------------------------------------------------------------------------
@@ -247,3 +308,14 @@ def iter_shaf_blocks(data: bytes) -> Iterator[bytes]:
 def read_shaf(path: str) -> list[bytes]:
     with open(path, "rb") as fp:
         return list(iter_shaf_blocks(fp.read()))
+
+
+def parse_shaf_frames(data: bytes) -> list[bytes]:
+    """All block payloads of a .shaf byte string (native frame scan when
+    available; same result as list(iter_shaf_blocks(data)))."""
+    from . import runtime
+    out = runtime.parse_shaf(data)
+    if out is not None:
+        offs, sizes = out
+        return [data[int(o):int(o) + int(s)] for o, s in zip(offs, sizes)]
+    return list(iter_shaf_blocks(data))

@@ -90,6 +90,55 @@ def stack_decode_tables(tables: list[dict]):
     return {k: np.stack([t[k] for t in tables]) for k in tables[0]}
 
 
+def decode_tables_batch(lens: np.ndarray, vals: np.ndarray) -> dict:
+    """Vectorized decode_tables_u32 over a batch: no per-block Python.
+
+    lens (n, 256) uint8, vals (n, 256) uint64 left-aligned (CodeTables
+    layout). Every row must have max code length <= 32 and at least one code
+    (callers filter; violations would silently decode garbage, so asserted).
+    Produces the same stacked dict as stack_decode_tables(map(
+    decode_tables_u32, ...)).
+    """
+    n = lens.shape[0]
+    present = lens > 0
+    n_codes = present.sum(1).astype(np.int32)
+    assert n == 0 or (int(lens.max()) <= 32 and int(n_codes.min()) >= 1)
+    # Sort present codes ascending by left-aligned value (rank order);
+    # absent symbols to the back (their vals are 0, so force the key up).
+    key = np.where(present, vals, np.uint64(0xFFFFFFFFFFFFFFFF))
+    order = np.argsort(key, axis=1, kind="stable")
+    rank_in = (np.arange(256)[None, :] < n_codes[:, None])
+    lens_s = np.where(rank_in, np.take_along_axis(lens, order, 1), 0) \
+        .astype(np.int64)
+    syms_s = np.where(rank_in, order, 0).astype(np.int64)
+    vals_s = np.take_along_axis(vals, order, 1)
+    pc = np.where(rank_in, (vals_s >> np.uint64(32)).astype(np.uint32),
+                  np.uint32(0))
+
+    def deltas_prefix(x):
+        d = np.diff(x, axis=1, prepend=0)
+        d = np.where(rank_in, d, 0)
+        d2 = d.reshape(n, 16, 16).astype(np.int32)
+        gs = d2.sum(2)
+        pref = np.concatenate(
+            [np.zeros((n, 1), np.int64), np.cumsum(gs, axis=1,
+                                                   dtype=np.int64)],
+            axis=1)[:, :16].astype(np.int32)
+        return d2, pref
+
+    dlen2d, plen = deltas_prefix(lens_s)
+    dsym2d, psym = deltas_prefix(syms_s)
+    return {
+        "pc": pc,
+        "pivots": np.ascontiguousarray(pc[:, ::16]),
+        "dlen2d": dlen2d,
+        "plen": plen,
+        "dsym2d": dsym2d,
+        "psym": psym,
+        "n_codes": n_codes,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Device kernel
 # ---------------------------------------------------------------------------

@@ -34,17 +34,18 @@ RLE_GATE_RATIO = 0.05
 
 
 class Backend(Protocol):
-    """Per-stage block-batch compute."""
+    """Per-stage block-batch compute. Code sets travel as codes.CodeTables
+    (array-native; row i = block i) — never as per-block Python strings."""
 
     def rle_encode(self, blocks: Sequence[np.ndarray]) -> list[np.ndarray]: ...
 
     def histogram(self, blocks: Sequence[np.ndarray]) -> list[np.ndarray]: ...
 
     def pack(self, blocks: Sequence[np.ndarray],
-             block_codes: Sequence[list[str]]) -> list[bytes]: ...
+             tables: "codes_mod.CodeTables") -> list[bytes]: ...
 
     def unpack(self, payloads: Sequence[bytes],
-               block_codes: Sequence[list[str]],
+               tables: "codes_mod.CodeTables",
                out_counts: Sequence[int]) -> list[np.ndarray]: ...
 
     def rle_expand(self, blocks: Sequence[np.ndarray]) -> list[np.ndarray]: ...
@@ -59,16 +60,19 @@ class NumpyBackend:
     def histogram(self, blocks):
         return [oracle.histogram(b) for b in blocks]
 
-    def pack(self, blocks, block_codes):
+    def pack(self, blocks, tables):
         out = []
-        for b, c in zip(blocks, block_codes):
-            lens, vals = codes_mod.code_table_arrays(c, width=64)
-            out.append(oracle.pack(b, lens, vals))
+        for i, b in enumerate(blocks):
+            if i in tables.overflow:
+                out.append(oracle.slow_pack(b.tobytes(),
+                                            tables.row_strings(i)))
+            else:
+                out.append(oracle.pack(b, tables.lens[i], tables.vals[i]))
         return out
 
-    def unpack(self, payloads, block_codes, out_counts):
-        return [oracle.unpack(p, c, n)
-                for p, c, n in zip(payloads, block_codes, out_counts)]
+    def unpack(self, payloads, tables, out_counts):
+        return [oracle.unpack(p, tables.row_strings(i), n)
+                for i, (p, n) in enumerate(zip(payloads, out_counts))]
 
     def rle_expand(self, blocks):
         return [oracle.rle_expand(b) for b in blocks]
@@ -144,14 +148,13 @@ def module_f(path: str, force_rle: bool, force_freq: bool, block_size: int,
                 fp.write(b.tobytes())
         path_rle_freq = formats.add_ext(path_rle, formats.FREQ_EXT)
         with open(path_rle_freq, "wb") as fp:
-            formats.write_freq(fp, "R", rle_sizes,
-                               [f.tolist() for f in freqs])
+            formats.write_freq_arrays(fp, "R", rle_sizes, np.stack(freqs))
         generated += [path_rle, path_rle_freq]
     if force_freq or not compress_rle:
         freqs = backend.histogram(blocks)
         path_freq = formats.add_ext(path, formats.FREQ_EXT)
         with open(path_freq, "wb") as fp:
-            formats.write_freq(fp, "N", sizes, [f.tolist() for f in freqs])
+            formats.write_freq_arrays(fp, "N", sizes, np.stack(freqs))
         generated.append(path_freq)
 
     new_path = path_rle if compress_rle else path
@@ -171,14 +174,15 @@ def module_f(path: str, force_rle: bool, force_freq: bool, block_size: int,
 
 def module_t(path: str) -> tuple[str, StageReport]:
     t0 = time.perf_counter()
-    freq = formats.parse_freq(_open_read(formats.add_ext(path, formats.FREQ_EXT)))
-    block_codes = [codes_mod.build_codes(f) for f in freq.freqs]
+    mode, block_sizes, freqs = formats.parse_freq_arrays(
+        _open_read(formats.add_ext(path, formats.FREQ_EXT)))
+    tables = codes_mod.build_code_tables(freqs)
     path_cod = formats.add_ext(path, formats.CODES_EXT)
     with open(path_cod, "wb") as fp:
-        formats.write_cod(fp, freq.mode, freq.block_sizes, block_codes)
+        formats.write_cod_tables(fp, mode, block_sizes, tables)
     report = StageReport(
-        module="t", n_blocks=freq.n_blocks, sizes_before=freq.block_sizes,
-        sizes_after=freq.block_sizes,
+        module="t", n_blocks=len(block_sizes), sizes_before=block_sizes,
+        sizes_after=block_sizes,
         runtime_ms=(time.perf_counter() - t0) * 1e3,
         generated=[path_cod],
     )
@@ -191,18 +195,19 @@ def module_t(path: str) -> tuple[str, StageReport]:
 
 def module_c(path: str, backend: Backend) -> tuple[str, StageReport]:
     t0 = time.perf_counter()
-    cod = formats.parse_cod(_open_read(formats.add_ext(path, formats.CODES_EXT)))
+    _, block_sizes, tables = formats.parse_cod_tables(
+        _open_read(formats.add_ext(path, formats.CODES_EXT)))
     if not os.path.isfile(path):
         raise FileInaccessibleError(path)
-    blocks = _read_blocks(path, cod.block_sizes)
-    payloads = backend.pack(blocks, cod.codes)
+    blocks = _read_blocks(path, block_sizes)
+    payloads = backend.pack(blocks, tables)
     path_shafa = formats.add_ext(path, formats.SHAFA_EXT)
     with open(path_shafa, "wb") as fp:
-        formats.write_shaf_header(fp, cod.n_blocks)
+        formats.write_shaf_header(fp, len(block_sizes))
         for p in payloads:
             formats.write_shaf_block(fp, p)
     report = StageReport(
-        module="c", n_blocks=cod.n_blocks, sizes_before=cod.block_sizes,
+        module="c", n_blocks=len(block_sizes), sizes_before=block_sizes,
         sizes_after=[len(p) for p in payloads],
         runtime_ms=(time.perf_counter() - t0) * 1e3,
         generated=[path_shafa],
@@ -219,14 +224,15 @@ def module_d_shafa(path: str, rle_decompression: bool,
     t0 = time.perf_counter()
     path_tmp = formats.rm_ext(path)  # strip .shaf
     path_wrt = formats.rm_ext(path_tmp) if rle_decompression else path_tmp
-    cod = formats.parse_cod(_open_read(formats.add_ext(path_tmp, formats.CODES_EXT)))
+    mode, block_sizes, tables = formats.parse_cod_tables(
+        _open_read(formats.add_ext(path_tmp, formats.CODES_EXT)))
     # Mode legality (d.c:678): N forbids the RLE path; R allows both.
-    if not ((cod.mode == "N" and not rle_decompression) or cod.mode == "R"):
+    if not ((mode == "N" and not rle_decompression) or mode == "R"):
         raise FileUnrecognizableError(".cod mode vs decompression type")
-    payloads = list(formats.iter_shaf_blocks(_open_read(path)))
-    if len(payloads) != cod.n_blocks:
+    payloads = formats.parse_shaf_frames(_open_read(path))
+    if len(payloads) != len(block_sizes):
         raise FileUnrecognizableError("block count mismatch .shaf vs .cod")
-    decoded = backend.unpack(payloads, cod.codes, cod.block_sizes)
+    decoded = backend.unpack(payloads, tables, block_sizes)
     if rle_decompression:
         out_blocks = backend.rle_expand(decoded)
     else:
@@ -235,7 +241,7 @@ def module_d_shafa(path: str, rle_decompression: bool,
         for b in out_blocks:
             fp.write(b.tobytes())
     report = StageReport(
-        module="d", n_blocks=cod.n_blocks,
+        module="d", n_blocks=len(block_sizes),
         sizes_before=[len(p) for p in payloads],
         sizes_after=[b.size for b in out_blocks],
         runtime_ms=(time.perf_counter() - t0) * 1e3,

@@ -42,12 +42,12 @@ def test_sharded_matches_single_device():
     for a, b in zip(h1, h2):
         assert (a == b).all()
 
-    cs = [codes_mod.build_codes(h) for h in h1]
-    p1 = single.pack(r1, cs)
-    p2 = multi.pack(r2, cs)
+    tables = codes_mod.build_code_tables(np.stack(h1))
+    p1 = single.pack(r1, tables)
+    p2 = multi.pack(r2, tables)
     assert p1 == p2
 
-    d2 = multi.unpack(p2, cs, [b.size for b in r1])
+    d2 = multi.unpack(p2, tables, [b.size for b in r1])
     for a, b in zip(d2, r1):
         assert (a == b).all()
 
@@ -65,5 +65,5 @@ def test_sharded_nondivisible_block_count():
     h2 = multi.histogram(blocks)
     for a, b in zip(h1, h2):
         assert (a == b).all()
-    cs = [codes_mod.build_codes(h) for h in h1]
-    assert single.pack(blocks, cs) == multi.pack(blocks, cs)
+    tables = codes_mod.build_code_tables(np.stack(h1))
+    assert single.pack(blocks, tables) == multi.pack(blocks, tables)

@@ -138,12 +138,12 @@ def test_backend_end_to_end(seed):
     for a, b in zip(h_j, h_n):
         assert (a == b).all()
 
-    cs = [codes_mod.build_codes(h) for h in h_j]
-    p_j = jb.pack(rle_j, cs)
-    p_n = nb.pack(rle_n, cs)
+    tables = codes_mod.build_code_tables(np.stack(h_j))
+    p_j = jb.pack(rle_j, tables)
+    p_n = nb.pack(rle_n, tables)
     assert p_j == p_n
 
-    d_j = jb.unpack(p_j, cs, [b.size for b in rle_j])
+    d_j = jb.unpack(p_j, tables, [b.size for b in rle_j])
     for a, b in zip(d_j, rle_j):
         assert (a == b).all()
 
