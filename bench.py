@@ -56,10 +56,9 @@ def synthetic(n: int, seed: int = 0) -> bytes:
 
 def compress(path: str, backend, verbose: bool = False) -> None:
     from shafa_tpu import pipeline
-    p, rf = pipeline.module_f(path, force_rle=False, force_freq=False,
-                              block_size=8 << 20, backend=backend)
-    p, rt = pipeline.module_t(p)
-    _, rc = pipeline.module_c(p, backend)
+    _, (rf, rt, rc) = pipeline.compress_pipeline(
+        path, force_rle=False, force_freq=False, block_size=8 << 20,
+        backend=backend)
     if verbose:
         print(f"stages: F={rf.runtime_ms:.0f}ms T={rt.runtime_ms:.0f}ms "
               f"C={rc.runtime_ms:.0f}ms", file=sys.stderr)

@@ -160,6 +160,32 @@ def execute_modules(opts: Options, path: str) -> int:
     backend = pipeline.get_backend(opts.backend)
     decompressed = False
 
+    if opts.module_f and opts.module_t and opts.module_c:
+        # Full compress chain: fused device-resident path (same files, same
+        # bytes, same summaries as the sequential modules below).
+        try:
+            path, reps = pipeline.compress_pipeline(
+                path, opts.f_force_rle, opts.f_force_freq, opts.block_size,
+                backend)
+        except ShafaError as e:
+            stage = getattr(e, "stage", "f")
+            if stage == "f":
+                print("Module f: Something went wrong while compressing with"
+                      " RLE or creating frequencies' table...",
+                      file=sys.stderr)
+            elif stage == "t":
+                print("Module t: Something went wrong...", file=sys.stderr)
+            else:
+                print("Module c: Something went wrong...", file=sys.stderr)
+            return e.code
+        _print_summary_f(reps[0])
+        _print_summary_t(reps[1])
+        _print_summary_c(reps[2])
+        if not opts.module_d:
+            return Code.SUCCESS
+        opts = dataclasses.replace(opts, module_f=False, module_t=False,
+                                   module_c=False)
+
     if opts.module_f:
         try:
             path, rep = pipeline.module_f(

@@ -3,7 +3,19 @@
 Blocks of a file share one size (except the last), so a file's blocks stack
 into a (B, P) array: B is the data-parallel axis — the TPU replacement for
 the reference's thread-per-block pipeline (multithread.c:126-194). P is
-padded per jit-bucket to bound recompilation; true lengths mask the padding.
+padded per jit-bucket and B per power-of-two row bucket, so compile shapes
+are bounded regardless of file size; true lengths mask all padding.
+
+Two dispatch tiers:
+
+  * the legacy per-stage methods (rle_encode/histogram/pack/unpack/
+    rle_expand) move full padded buffers host<->device per stage — simple,
+    used by tests and the sharded (mesh) path;
+  * the fused_* methods keep intermediate streams DEVICE-RESIDENT across
+    the F->C (and D: unpack->expand) chains and download only compacted
+    exact-size byte streams (kernels/ops.compact_rows).  Through a thin
+    host->TPU link the padded transfers dominate end-to-end time, so this
+    is the difference between ~MB/s and ~HBM-bound throughput.
 
 Fallback policy: blocks whose code tables exceed the 32-bit kernel width
 (pathological skew) or whose packed size could overflow int32 bit offsets
@@ -13,18 +25,24 @@ path's static bounds.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
-from . import codes as codes_mod
 from . import oracle
 from .kernels import decode as kdecode
 from .kernels import histogram as khist
+from .kernels import ops as kops
 from .kernels import pack as kpack
 from .kernels import rle as krle
 
 #: Max elements per (B, P) device batch — bounds peak HBM across the ~20x
 #: int32 intermediates of the scan/scatter kernels.
 MAX_BATCH_ELEMS = 1 << 26
+
+#: Compacted downloads are padded to a multiple of this (few static shapes
+#: for the compact kernel, <=4 MiB slack per transfer).
+DOWNLOAD_BUCKET = 4 << 20
 
 
 def _bucket(n: int, minimum: int = 256) -> int:
@@ -35,13 +53,30 @@ def _bucket(n: int, minimum: int = 256) -> int:
     return b
 
 
-def _stack_blocks(blocks):
-    """list of 1-D uint8 -> (B, P) padded + (B,) lengths (host-side)."""
-    lens = np.array([b.size for b in blocks], dtype=np.int32)
-    p = _bucket(int(lens.max()) if len(blocks) else 1)
-    out = np.zeros((len(blocks), p), dtype=np.uint8)
+def _row_bucket(n: int, cap: int) -> int:
+    """Pad a row count to a power of two, capped (bounds compile shapes)."""
+    return min(_bucket(max(n, 1), minimum=1), max(cap, 1))
+
+
+def _dl_bucket(n: int) -> int:
+    return max(DOWNLOAD_BUCKET,
+               -(-max(n, 1) // DOWNLOAD_BUCKET) * DOWNLOAD_BUCKET)
+
+
+def _stack_blocks(blocks, b_rows: int | None = None):
+    """list of 1-D uint8 -> (B, P) padded + (B,) lengths (host-side).
+
+    b_rows pads the row count (extra rows have length 0 — every kernel
+    masks by true length, so they produce empty outputs).
+    """
+    lens_l = [b.size for b in blocks]
+    p = _bucket(max(lens_l) if blocks else 1)
+    rows = b_rows if b_rows is not None else len(blocks)
+    out = np.zeros((rows, p), dtype=np.uint8)
+    lens = np.zeros(rows, dtype=np.int32)
     for i, b in enumerate(blocks):
         out[i, : b.size] = b
+        lens[i] = b.size
     return out, lens
 
 
@@ -49,6 +84,75 @@ def _batches(n_blocks: int, p: int):
     bsz = max(1, MAX_BATCH_ELEMS // max(p, 1))
     for lo in range(0, n_blocks, bsz):
         yield lo, min(lo + bsz, n_blocks)
+
+
+# ---------------------------------------------------------------------------
+# Fused jit steps (single-device path)
+# ---------------------------------------------------------------------------
+
+def _jit(fn, **kw):
+    import jax
+    return jax.jit(fn, **kw)
+
+
+@functools.cache
+def _f_encode_step():
+    def step(x, lens):
+        enc, enc_len = krle.rle_encode_batch(x, lens)
+        hist = khist.histogram_batch(enc, enc_len)
+        return enc, enc_len, hist
+    return _jit(step)
+
+
+@functools.cache
+def _hist_step():
+    return _jit(khist.histogram_batch)
+
+
+@functools.cache
+def _compact_step():
+    return _jit(kops.compact_rows, static_argnames="out_sz")
+
+
+@functools.cache
+def _pack_step():
+    return _jit(kpack.pack_batch)
+
+
+@functools.cache
+def _decode_step():
+    return _jit(kdecode.decode_batch, static_argnames="out_p")
+
+
+@functools.cache
+def _expand_sizes_step():
+    return _jit(krle.rle_expand_sizes)
+
+
+@functools.cache
+def _expand_step():
+    return _jit(krle.rle_expand_batch, static_argnames="out_p")
+
+
+def _split_rows(flat: np.ndarray, sizes) -> list[np.ndarray]:
+    """Split a compacted flat buffer back into per-row views (no copies)."""
+    out = []
+    pos = 0
+    for s in sizes:
+        out.append(flat[pos:pos + int(s)])
+        pos += int(s)
+    return out
+
+
+class _EncodeHandle:
+    """Device-resident state of a fused encode: per-batch arrays + row map."""
+
+    def __init__(self):
+        self.batches = []  # dicts: x, lens, enc, enc_len, n (true rows)
+
+    @property
+    def n_blocks(self):
+        return sum(b["n"] for b in self.batches)
 
 
 class JaxBackend:
@@ -104,7 +208,7 @@ class JaxBackend:
         out, n = krle.rle_expand_batch(x, lens, out_p)
         return np.asarray(out), np.asarray(n)
 
-    # -- Backend protocol ---------------------------------------------------
+    # -- Backend protocol (per-stage; padded transfers) ---------------------
 
     def rle_encode(self, blocks):
         if not blocks:
@@ -198,3 +302,186 @@ class JaxBackend:
             ex, ex_len = self._k_expand(stacked[lo:hi], lens[lo:hi], out_p)
             out.extend(ex[i, : ex_len[i]] for i in range(hi - lo))
         return out
+
+    # -- fused device-resident paths (single-device; pipeline fast path) ----
+
+    @property
+    def supports_fused(self) -> bool:
+        return self._sk is None
+
+    def fused_encode(self, blocks) -> _EncodeHandle:
+        """Upload blocks once; run RLE + histogram-of-RLE on device.
+
+        Raw and RLE streams stay device-resident for fused_pack; only the
+        (B,) RLE lengths and (B, 256) histograms come to host.
+        """
+        import jax.numpy as jnp
+        h = _EncodeHandle()
+        if not blocks:
+            return h
+        p = _bucket(max(b.size for b in blocks))
+        bsz = max(1, MAX_BATCH_ELEMS // p)
+        step = _f_encode_step()
+        for lo in range(0, len(blocks), bsz):
+            rows = blocks[lo:lo + bsz]
+            stacked, lens = _stack_blocks(rows, _row_bucket(len(rows), bsz))
+            x = jnp.asarray(stacked)
+            ld = jnp.asarray(lens)
+            enc, enc_len, hist = step(x, ld)
+            h.batches.append(dict(x=x, lens=lens, enc=enc, enc_len=enc_len,
+                                  hist=hist, n=len(rows)))
+        return h
+
+    def fused_rle_hists(self, h: _EncodeHandle):
+        """(n_blocks, 256) int64 histograms of the RLE streams."""
+        return np.concatenate(
+            [np.asarray(b["hist"])[: b["n"]] for b in h.batches]
+        ).astype(np.int64) if h.batches else np.zeros((0, 256), np.int64)
+
+    def fused_raw_hists(self, h: _EncodeHandle):
+        """Histograms of the RAW blocks (N mode / -c f), device-resident."""
+        step = _hist_step()
+        return np.concatenate(
+            [np.asarray(step(b["x"], np.asarray(b["lens"])))[: b["n"]]
+             for b in h.batches]
+        ).astype(np.int64) if h.batches else np.zeros((0, 256), np.int64)
+
+    def fused_rle_sizes(self, h: _EncodeHandle) -> np.ndarray:
+        return np.concatenate(
+            [np.asarray(b["enc_len"])[: b["n"]] for b in h.batches]
+        ).astype(np.int64) if h.batches else np.zeros(0, np.int64)
+
+    def fused_rle_bytes(self, h: _EncodeHandle) -> np.ndarray:
+        """All RLE streams concatenated in block order (exact bytes)."""
+        compact = _compact_step()
+        parts = []
+        for b in h.batches:
+            lens = np.asarray(b["enc_len"]).copy()
+            lens[b["n"]:] = 0
+            total = int(lens.sum())
+            flat = compact(b["enc"], lens, out_sz=_dl_bucket(total))
+            parts.append(np.asarray(flat)[:total])
+        return (np.concatenate(parts) if parts else
+                np.zeros(0, np.uint8))
+
+    def fused_pack(self, h: _EncodeHandle, tables, use_rle: bool,
+                   host_row) -> list[bytes]:
+        """Bit-pack the device-resident streams (RLE or raw) with per-block
+        code tables; downloads one compacted buffer per batch.
+
+        host_row(i) -> np.uint8 row i's stream bytes, used only for the rare
+        oracle-fallback rows (>32-bit codes / offset overflow).
+        """
+        n_total = h.n_blocks
+        results: list[bytes | None] = [None] * n_total
+        maxlen = tables.lens.max(axis=1)
+        pack = _pack_step()
+        compact = _compact_step()
+        base = 0
+        for b in h.batches:
+            n = b["n"]
+            src = b["enc"] if use_rle else b["x"]
+            src_len = (np.asarray(b["enc_len"]) if use_rle
+                       else np.asarray(b["lens"])).copy()
+            src_len[n:] = 0
+            fallback = []
+            for j in range(n):
+                i = base + j
+                if (i in tables.overflow or maxlen[i] > 32
+                        or int(maxlen[i]) * int(src_len[j])
+                        >= (1 << 31) - 64):
+                    fallback.append(i)
+                    src_len[j] = 0  # mask out of the kernel pass
+            rows = b["lens"].shape[0]  # already row-bucketed by fused_encode
+            cl = np.zeros((rows, 256), np.int32)
+            cv = np.zeros((rows, 256), np.uint32)
+            sel = [base + j for j in range(n)]
+            cl[:n] = tables.lens[sel].astype(np.int32)
+            cv[:n] = (tables.vals[sel] >> np.uint64(32)).astype(np.uint32)
+            np.clip(cl, 0, 32, out=cl)
+            packed, plen = pack(src, src_len, cl, cv)
+            plen_np = np.asarray(plen).copy()
+            plen_np[n:] = 0
+            total = int(plen_np.sum())
+            flat = np.asarray(compact(packed, plen_np,
+                                      out_sz=_dl_bucket(total)))[:total]
+            for j, row in enumerate(_split_rows(flat, plen_np[:n])):
+                if base + j not in fallback:
+                    results[base + j] = row.tobytes()
+            for i in fallback:
+                blk = host_row(i)
+                if i in tables.overflow:
+                    results[i] = oracle.slow_pack(blk.tobytes(),
+                                                  tables.row_strings(i))
+                else:
+                    results[i] = oracle.pack(blk, tables.lens[i],
+                                             tables.vals[i])
+            base += n
+        return results
+
+    def fused_decode(self, payloads, tables, out_counts,
+                     expand: bool) -> list[np.ndarray]:
+        """Device-resident D chain: SF decode (+ optional RLE expand), one
+        compacted download of the final bytes."""
+        n_total = len(payloads)
+        results: list[np.ndarray | None] = [None] * n_total
+        maxlen = tables.lens.max(axis=1)
+        n_codes = (tables.lens > 0).sum(axis=1)
+        fast_idx = []
+        for i in range(n_total):
+            if i in tables.overflow or maxlen[i] > 32 or n_codes[i] == 0:
+                dec = oracle.unpack(payloads[i], tables.row_strings(i),
+                                    out_counts[i])
+                results[i] = oracle.rle_expand(dec) if expand else dec
+            else:
+                fast_idx.append(i)
+        if not fast_idx:
+            return results
+        import jax.numpy as jnp
+        decode = _decode_step()
+        compact = _compact_step()
+        blocks = [np.frombuffer(payloads[i], np.uint8) for i in fast_idx]
+        p = _bucket(max(b.size for b in blocks))
+        bsz = max(1, MAX_BATCH_ELEMS // (p * 8))
+        counts_all = np.array([out_counts[i] for i in fast_idx], np.int32)
+        out_p = _bucket(int(counts_all.max()))
+        tab_all = kdecode.decode_tables_batch(tables.lens[fast_idx],
+                                              tables.vals[fast_idx])
+        for lo in range(0, len(fast_idx), bsz):
+            rows = blocks[lo:lo + bsz]
+            nb = len(rows)
+            b_rows = _row_bucket(nb, bsz)
+            stacked, plens = _stack_blocks(rows, b_rows)
+            counts = np.zeros(b_rows, np.int32)
+            counts[:nb] = counts_all[lo:lo + nb]
+            tab = {}
+            for k, v in tab_all.items():
+                pad = np.zeros((b_rows,) + v.shape[1:], v.dtype)
+                pad[:nb] = v[lo:lo + nb]
+                if b_rows > nb:  # padding rows need a decodable table
+                    pad[nb:] = v[lo:lo + 1]
+                tab[k] = pad
+            dec, underrun = decode(jnp.asarray(stacked), plens, tab, counts,
+                                   out_p=out_p)
+            if bool(np.asarray(underrun)[:nb].any()):
+                raise ValueError("compressed stream exhausted early")
+            if expand:
+                sizes = np.asarray(_expand_sizes_step()(dec, counts)).copy()
+                sizes[nb:] = 0
+                ex_p = _bucket(int(sizes.max()) if sizes.size else 1)
+                ex, ex_len = _expand_step()(dec, counts, out_p=ex_p)
+                ex_len = np.asarray(ex_len).copy()
+                ex_len[nb:] = 0
+                total = int(ex_len.sum())
+                flat = np.asarray(compact(ex, ex_len,
+                                          out_sz=_dl_bucket(total)))[:total]
+                out_rows = _split_rows(flat, ex_len[:nb])
+            else:
+                cts = counts.copy()
+                total = int(cts.sum())
+                flat = np.asarray(compact(dec, cts,
+                                          out_sz=_dl_bucket(total)))[:total]
+                out_rows = _split_rows(flat, cts[:nb])
+            for j, row in enumerate(out_rows):
+                results[fast_idx[lo + j]] = row
+        return results

@@ -43,6 +43,28 @@ def lut_nibble_u32(x: jnp.ndarray, table_u32: np.ndarray) -> jnp.ndarray:
     return (hi.astype(jnp.uint32) << 16) | lo.astype(jnp.uint32)
 
 
+def compact_rows(rows: jnp.ndarray, lens: jnp.ndarray, out_sz: int):
+    """Concatenate the valid prefixes of each row into one flat vector.
+
+    rows (B, Q) uint8, lens (B,) -> (out_sz,) uint8 with
+    out[cumsum(lens)[i-1] : cumsum(lens)[i]] = rows[i, :lens[i]].
+
+    This is the device-side gather that replaces downloading whole padded
+    buffers: callers transfer exactly `out_sz >= lens.sum()` bytes instead of
+    B*Q. Masked lanes write 0 at a monotone in-range index (scatter fast
+    path), as in the other emission kernels.
+    """
+    b, q = rows.shape
+    row_start = jnp.cumsum(lens) - lens
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, q), 1)
+    valid = pos < lens[:, None]
+    idx = jnp.where(valid, row_start[:, None] + pos, out_sz).ravel()
+    out = jnp.zeros(out_sz, jnp.int32)
+    out = out.at[idx].add(jnp.where(valid, rows, 0).astype(jnp.int32).ravel(),
+                          mode="drop")
+    return out.astype(jnp.uint8)
+
+
 def segment_fill(markers: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Segment ids from start markers: cumsum(markers) - 1."""
     return jnp.cumsum(markers.astype(jnp.int32), axis=axis) - 1

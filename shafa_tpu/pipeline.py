@@ -27,7 +27,7 @@ import numpy as np
 from . import codes as codes_mod
 from . import formats, geometry, oracle
 from .errors import (FileInaccessibleError, FileTooSmallError,
-                     FileUnrecognizableError)
+                     FileUnrecognizableError, ShafaError)
 
 #: RLE keep/skip gate: applied to block 0 only (f.c:250-257).
 RLE_GATE_RATIO = 0.05
@@ -169,6 +169,121 @@ def module_f(path: str, force_rle: bool, force_freq: bool, block_size: int,
 
 
 # ---------------------------------------------------------------------------
+# Fused F+T+C (device-resident; byte-identical to the sequential modules)
+# ---------------------------------------------------------------------------
+
+def compress_pipeline(path: str, force_rle: bool, force_freq: bool,
+                      block_size: int, backend: Backend
+                      ) -> tuple[str, list[StageReport]]:
+    """Run modules F, T, C as one chain.
+
+    With a fused-capable backend (JaxBackend, single device) the raw and RLE
+    streams stay device-resident across the whole chain: one upload of the
+    input, compacted exact-size downloads of the .rle and .shaf payloads —
+    the sidecar files written are byte-identical to running module_f,
+    module_t, module_c in sequence (differential-tested). Other backends
+    fall back to exactly that sequence.
+
+    Raised ShafaErrors carry a ``stage`` attribute ('f'|'t'|'c') so the CLI
+    can print the reference's per-module diagnostics (shafa.c:159-199).
+    """
+    if not getattr(backend, "supports_fused", False):
+        p, rf = module_f(path, force_rle, force_freq, block_size, backend)
+        try:
+            p, rt = module_t(p)
+        except ShafaError as e:
+            e.stage = "t"
+            raise
+        try:
+            p, rc = module_c(p, backend)
+        except ShafaError as e:
+            e.stage = "c"
+            raise
+        return p, [rf, rt, rc]
+
+    t0 = time.perf_counter()
+    if not os.path.isfile(path):
+        raise FileInaccessibleError(path)
+    geo = geometry.geometry_for_file(path, block_size)
+    if geo.total < geometry.MIN_FILE_SIZE:
+        raise FileTooSmallError(path)
+    sizes = geo.sizes()
+    blocks = _read_blocks(path, sizes)
+
+    handle = backend.fused_encode(blocks)
+    rle_sizes = backend.fused_rle_sizes(handle)
+    ratio = (sizes[0] - int(rle_sizes[0])) / sizes[0]
+    compress_rle = force_rle or ratio >= RLE_GATE_RATIO
+
+    generated: list[str] = []
+    path_rle = formats.add_ext(path, formats.RLE_EXT)
+    rle_flat = None
+    rle_offs = None
+    if compress_rle:
+        rle_flat = backend.fused_rle_bytes(handle)
+        rle_offs = np.concatenate(([0], np.cumsum(rle_sizes)))
+        with open(path_rle, "wb") as fp:
+            fp.write(rle_flat.tobytes())
+        freqs = backend.fused_rle_hists(handle)
+        path_rle_freq = formats.add_ext(path_rle, formats.FREQ_EXT)
+        with open(path_rle_freq, "wb") as fp:
+            formats.write_freq_arrays(fp, "R", rle_sizes, freqs)
+        generated += [path_rle, path_rle_freq]
+        mode, stream_sizes = "R", [int(s) for s in rle_sizes]
+    if force_freq or not compress_rle:
+        nfreqs = backend.fused_raw_hists(handle)
+        path_freq = formats.add_ext(path, formats.FREQ_EXT)
+        with open(path_freq, "wb") as fp:
+            formats.write_freq_arrays(fp, "N", sizes, nfreqs)
+        generated.append(path_freq)
+        if not compress_rle:
+            mode, stream_sizes, freqs = "N", list(sizes), nfreqs
+    data_path = path_rle if compress_rle else path
+    rep_f = StageReport(
+        module="f", n_blocks=geo.n_blocks, sizes_before=sizes,
+        sizes_after=stream_sizes,
+        runtime_ms=(time.perf_counter() - t0) * 1e3, generated=generated,
+        extra={"compress_rle": compress_rle, "size_f": geo.total})
+
+    t1 = time.perf_counter()
+    try:
+        tables = codes_mod.build_code_tables(freqs)
+        path_cod = formats.add_ext(data_path, formats.CODES_EXT)
+        with open(path_cod, "wb") as fp:
+            formats.write_cod_tables(fp, mode, stream_sizes, tables)
+    except ShafaError as e:
+        e.stage = "t"
+        raise
+    rep_t = StageReport(
+        module="t", n_blocks=geo.n_blocks, sizes_before=stream_sizes,
+        sizes_after=stream_sizes,
+        runtime_ms=(time.perf_counter() - t1) * 1e3, generated=[path_cod])
+
+    t2 = time.perf_counter()
+
+    def host_row(i: int) -> np.ndarray:
+        if compress_rle:
+            return rle_flat[rle_offs[i]:rle_offs[i + 1]]
+        return blocks[i]
+
+    try:
+        payloads = backend.fused_pack(handle, tables, compress_rle, host_row)
+        path_shafa = formats.add_ext(data_path, formats.SHAFA_EXT)
+        with open(path_shafa, "wb") as fp:
+            formats.write_shaf_header(fp, geo.n_blocks)
+            for p in payloads:
+                formats.write_shaf_block(fp, p)
+    except ShafaError as e:
+        e.stage = "c"
+        raise
+    rep_c = StageReport(
+        module="c", n_blocks=geo.n_blocks, sizes_before=stream_sizes,
+        sizes_after=[len(p) for p in payloads],
+        runtime_ms=(time.perf_counter() - t2) * 1e3, generated=[path_shafa])
+    return path_shafa, [rep_f, rep_t, rep_c]
+
+
+# ---------------------------------------------------------------------------
 # Module T: Shannon-Fano code construction (t.c:246-445)
 # ---------------------------------------------------------------------------
 
@@ -232,11 +347,15 @@ def module_d_shafa(path: str, rle_decompression: bool,
     payloads = formats.parse_shaf_frames(_open_read(path))
     if len(payloads) != len(block_sizes):
         raise FileUnrecognizableError("block count mismatch .shaf vs .cod")
-    decoded = backend.unpack(payloads, tables, block_sizes)
-    if rle_decompression:
-        out_blocks = backend.rle_expand(decoded)
+    if getattr(backend, "supports_fused", False):
+        out_blocks = backend.fused_decode(payloads, tables, block_sizes,
+                                          expand=rle_decompression)
     else:
-        out_blocks = decoded
+        decoded = backend.unpack(payloads, tables, block_sizes)
+        if rle_decompression:
+            out_blocks = backend.rle_expand(decoded)
+        else:
+            out_blocks = decoded
     with open(path_wrt, "wb") as fp:
         for b in out_blocks:
             fp.write(b.tobytes())
