@@ -90,48 +90,46 @@ def _batches(n_blocks: int, p: int):
 # Fused jit steps (single-device path)
 # ---------------------------------------------------------------------------
 
-def _jit(fn, **kw):
-    import jax
-    return jax.jit(fn, **kw)
-
-
-@functools.cache
-def _f_encode_step():
-    def step(x, lens):
-        enc, enc_len = krle.rle_encode_batch(x, lens)
-        hist = khist.histogram_batch(enc, enc_len)
-        return enc, enc_len, hist
-    return _jit(step)
-
-
-@functools.cache
-def _hist_step():
-    return _jit(khist.histogram_batch)
-
+# NOTE on jit granularity: rle/histogram/pack-stage/decode-stage/compact run
+# as SEPARATE jit programs, chained through device-resident arrays. Fusing
+# them into one XLA program looks natural but is a compile-time trap on TPU:
+# a single program combining the MXU LUT matmuls with the scatter emission
+# (or one giant einsum over ~2^27 elements) takes 100-400+ s to compile,
+# while the same math as chained ~4 Mi-chunk programs compiles in seconds
+# with identical warm runtime (measured on v5e; see kernels/pack.py).
 
 @functools.cache
 def _compact_step():
-    return _jit(kops.compact_rows, static_argnames="out_sz")
+    import jax
+    return jax.jit(kops.compact_rows, static_argnames="out_sz")
 
 
-@functools.cache
+def _f_encode_step():
+    def step(x, lens):
+        enc, enc_len = krle.rle_encode_batch(x, lens)  # jit #1
+        hist = khist.histogram_batch(enc, enc_len)     # jit #2 (fori_loop)
+        return enc, enc_len, hist
+    return step
+
+
+def _hist_step():
+    return khist.histogram_batch
+
+
 def _pack_step():
-    return _jit(kpack.pack_batch)
+    return kpack.pack_batch  # dispatches its two jit stages itself
 
 
-@functools.cache
 def _decode_step():
-    return _jit(kdecode.decode_batch, static_argnames="out_p")
+    return kdecode.decode_batch  # dispatches its two jit stages itself
 
 
-@functools.cache
 def _expand_sizes_step():
-    return _jit(krle.rle_expand_sizes)
+    return krle.rle_expand_sizes
 
 
-@functools.cache
 def _expand_step():
-    return _jit(krle.rle_expand_batch, static_argnames="out_p")
+    return krle.rle_expand_batch
 
 
 def _split_rows(flat: np.ndarray, sizes) -> list[np.ndarray]:

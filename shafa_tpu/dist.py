@@ -77,8 +77,12 @@ class ShardedKernels:
             khist.histogram_batch,
             in_specs=(P(AXIS, None), P(AXIS)),
             out_specs=P(AXIS, None)))
+        # NOTE: the *_fused composites re-fuse the split jit stages into one
+        # program — fine on the CPU test mesh; a real TPU pod slice would
+        # shard_map each stage separately (see device.py jit-granularity
+        # note) once multi-chip hardware is available.
         self._pack = jax.jit(spec(
-            kpack.pack_batch,
+            kpack.pack_batch_fused,
             in_specs=(P(AXIS, None), P(AXIS), P(AXIS, None), P(AXIS, None)),
             out_specs=(P(AXIS, None), P(AXIS))))
         tab_spec = {k: P(AXIS) if k == "n_codes" else P(AXIS, None)
@@ -113,7 +117,7 @@ class ShardedKernels:
 
     def decode(self, payload, plens, tables, counts, out_p: int):
         if out_p not in self._decode:
-            fn = functools.partial(kdecode.decode_batch, out_p=out_p)
+            fn = functools.partial(kdecode.decode_batch_fused, out_p=out_p)
             self._decode[out_p] = jax.jit(self._spec(
                 lambda pl, ln, tab, ct: fn(pl, ln, tab, ct),
                 in_specs=(P(AXIS, None), P(AXIS), self._tab_spec, P(AXIS)),

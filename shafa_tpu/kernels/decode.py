@@ -210,21 +210,20 @@ def _rank_fields(w: jnp.ndarray, t: dict):
     return ln, sym
 
 
-@functools.partial(jax.jit, static_argnames=("out_p",))
-def decode_batch(payload: jnp.ndarray, payload_lens: jnp.ndarray,
-                 tables: dict, out_counts: jnp.ndarray, out_p: int):
-    """(B, P) packed payloads -> ((B, out_p) uint8 symbols, mask info).
+def decode_stage1(payload: jnp.ndarray, tables: dict):
+    """Window construction + per-bit-position rank: (len, sym) per bit.
 
-    out_p: static padded output size (>= max out_counts in the batch).
-    Positions past out_counts are zero. Garbage decode of padding bits is
-    harmless: termination is by count, like the reference.
-    """
-    b, p = payload.shape
-    nbits = 8 * p
+    Separate compile unit from the chain stage (see pack_stage1 for the
+    XLA fusion compile-time pathology this avoids)."""
     w = _windows32(payload)
-    ln, sym = _rank_fields(w, tables)
+    return _rank_fields(w, tables)
 
-    # Chain over flattened rows with absorbing state at each row's end.
+
+def decode_stage2(ln: jnp.ndarray, sym: jnp.ndarray,
+                  payload_lens: jnp.ndarray, out_counts: jnp.ndarray,
+                  out_p: int):
+    """Symbol chain (pointer doubling) + emission by known output count."""
+    b, nbits = ln.shape
     n_valid_bits = payload_lens * 8
     pos = jax.lax.broadcasted_iota(jnp.int32, (b, nbits), 1)
     nxt = jnp.minimum(pos + ln, nbits)
@@ -248,3 +247,25 @@ def decode_batch(payload: jnp.ndarray, payload_lens: jnp.ndarray,
     # error flag: requested more symbols than the stream contains
     underrun = jnp.any((k < out_counts[:, None]) & ~ok, axis=1)
     return out.astype(jnp.uint8), underrun
+
+
+_stage1_jit = jax.jit(decode_stage1)
+_stage2_jit = jax.jit(decode_stage2, static_argnames=("out_p",))
+
+
+def decode_batch(payload: jnp.ndarray, payload_lens: jnp.ndarray,
+                 tables: dict, out_counts: jnp.ndarray, out_p: int):
+    """(B, P) packed payloads -> ((B, out_p) uint8 symbols, mask info).
+
+    out_p: static padded output size (>= max out_counts in the batch).
+    Positions past out_counts are zero. Garbage decode of padding bits is
+    harmless: termination is by count, like the reference. Two jit stages,
+    device-resident in between (see decode_stage1)."""
+    ln, sym = _stage1_jit(payload, tables)
+    return _stage2_jit(ln, sym, payload_lens, out_counts, out_p=out_p)
+
+
+def decode_batch_fused(payload, payload_lens, tables, out_counts, out_p):
+    """Single-graph composite for shard_map on CPU meshes (one callee)."""
+    ln, sym = decode_stage1(payload, tables)
+    return decode_stage2(ln, sym, payload_lens, out_counts, out_p)

@@ -5,15 +5,18 @@ contraction of the two 16-wide one-hots:
 
     hist[hi*16 + lo] = sum_i onehot16(x_i >> 4)[hi] * onehot16(x_i & 15)[lo]
 
-which is a (16, P) x (P, 16) matmul on the MXU — 32 VPU compares per byte
-instead of 256 for a direct one-hot, with the counting itself on the MXU.
-Counts accumulate exactly: f32 partials stay below 2**24 because the
-contraction is chunked to <= 2**22 elements; chunk results are summed in i32.
+a (P, 16) x (P, 16) -> (16, 16) contraction on the MXU — 32 VPU compares per
+byte instead of 256 for a direct one-hot, with the counting itself on the
+MXU. Counts accumulate exactly: f32 partials stay below 2**24 because each
+contraction covers <= 2**22 elements; chunk results accumulate in i32.
+
+The contraction is chunked with a fori_loop, not one big einsum: XLA's
+compile time on a single 2**27-element einsum is pathological (measured
+~100 s on v5e), while the identical math as a 4 Mi-chunk loop compiles in
+<1 s and runs at the same ~0.1 ms.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -21,32 +24,32 @@ import jax.numpy as jnp
 _CHUNK = 1 << 22  # f32-exactness bound per contraction
 
 
-@functools.partial(jax.jit, static_argnames=("n_valid_static",))
-def histogram_batch(x: jnp.ndarray, lengths: jnp.ndarray,
-                    n_valid_static: int | None = None) -> jnp.ndarray:
+@jax.jit
+def histogram_batch(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     """(B, P) uint8 blocks + (B,) true lengths -> (B, 256) int32 counts.
 
     Padding bytes are excluded via the length mask; histogram of the *valid*
     prefix of each row, matching per-block make_freq.
     """
     b, p = x.shape
-    pos = jax.lax.broadcasted_iota(jnp.int32, (b, p), 1)
-    valid = pos < lengths[:, None]
-    xi = x.astype(jnp.int32)
+    chunk = min(_CHUNK, p)
+    pad = -p % chunk
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    n_chunks = x.shape[1] // chunk
     i16 = jnp.arange(16, dtype=jnp.int32)
 
-    chunk = min(_CHUNK, p)
-    n_chunks = -(-p // chunk)
-    pad = n_chunks * chunk - p
-    if pad:
-        xi = jnp.pad(xi, ((0, 0), (0, pad)))
-        valid = jnp.pad(valid, ((0, 0), (0, pad)))
-    xi = xi.reshape(b, n_chunks, chunk)
-    valid = valid.reshape(b, n_chunks, chunk)
+    def body(c, acc):
+        xi = jax.lax.dynamic_slice(x, (0, c * chunk), (b, chunk)) \
+            .astype(jnp.int32)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1) + c * chunk
+        vm = (pos < lengths[:, None]).astype(jnp.bfloat16)
+        oh_hi = ((xi[..., None] >> 4) == i16).astype(jnp.bfloat16) \
+            * vm[..., None]
+        oh_lo = ((xi[..., None] & 15) == i16).astype(jnp.bfloat16)
+        h = jnp.einsum("bph,bpl->bhl", oh_hi, oh_lo,
+                       preferred_element_type=jnp.float32)
+        return acc + h.astype(jnp.int32).reshape(b, 256)
 
-    oh_hi = ((xi[..., None] >> 4) == i16).astype(jnp.bfloat16)
-    oh_lo = ((xi[..., None] & 15) == i16).astype(jnp.bfloat16)
-    oh_hi = oh_hi * valid[..., None].astype(jnp.bfloat16)
-    h = jnp.einsum("bcph,bcpl->bchl", oh_hi, oh_lo,
-                   preferred_element_type=jnp.float32)
-    return h.astype(jnp.int32).sum(axis=1).reshape(b, 256)
+    return jax.lax.fori_loop(0, n_chunks, body,
+                             jnp.zeros((b, 256), jnp.int32))

@@ -51,17 +51,20 @@ def compact_rows(rows: jnp.ndarray, lens: jnp.ndarray, out_sz: int):
 
     This is the device-side gather that replaces downloading whole padded
     buffers: callers transfer exactly `out_sz >= lens.sum()` bytes instead of
-    B*Q. Masked lanes write 0 at a monotone in-range index (scatter fast
-    path), as in the other emission kernels.
+    B*Q. Invalid lanes clamp to their row's end boundary (the next row's
+    start) and add 0 there, keeping indices GLOBALLY nondecreasing — the
+    sorted-scatter fast path; an unsorted scatter serializes on TPU
+    (measured ~150 Melem/s vs ~ms for the sorted form).
     """
     b, q = rows.shape
+    lens = lens.astype(jnp.int32)
     row_start = jnp.cumsum(lens) - lens
     pos = jax.lax.broadcasted_iota(jnp.int32, (b, q), 1)
     valid = pos < lens[:, None]
-    idx = jnp.where(valid, row_start[:, None] + pos, out_sz).ravel()
+    idx = (row_start[:, None] + jnp.minimum(pos, lens[:, None])).ravel()
     out = jnp.zeros(out_sz, jnp.int32)
     out = out.at[idx].add(jnp.where(valid, rows, 0).astype(jnp.int32).ravel(),
-                          mode="drop")
+                          indices_are_sorted=True, mode="drop")
     return out.astype(jnp.uint8)
 
 

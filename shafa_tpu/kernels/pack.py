@@ -28,32 +28,35 @@ SPAN = 5  # ceil((32 + 7) / 8)
 
 
 def pack_out_bound(p: int) -> int:
-    """Worst-case packed bytes for p symbols of <=32-bit codes."""
-    return 4 * p + 16
+    """Worst-case packed bytes for p symbols of <=32-bit codes (rounded to
+    a 512-multiple; see rle_out_bound)."""
+    return (4 * p + 16 + 511) & ~511
 
 
-@jax.jit
-def pack_batch(x: jnp.ndarray, lengths: jnp.ndarray,
-               code_lens: jnp.ndarray, code_vals: jnp.ndarray):
-    """Pack (B, P) uint8 symbol streams with per-block code tables.
+def pack_stage1(x: jnp.ndarray, lengths: jnp.ndarray,
+                code_lens: jnp.ndarray, code_vals: jnp.ndarray):
+    """LUT lookup + bit-offset scan: (off, val, valid).
 
-    code_lens: (B, 256) int32; code_vals: (B, 256) uint32 (left-aligned).
-    Returns ((B, 4P+16) uint8 packed, (B,) packed byte lengths).
+    Kept as a SEPARATE compile unit from pack_stage2: fusing the MXU LUT
+    matmuls + cumsum with the emission scatters into one XLA program blows
+    compile time from ~6 s to >400 s on v5e (same runtime either way).
     """
     b, p = x.shape
-    out_p = pack_out_bound(p)
     pos = jax.lax.broadcasted_iota(jnp.int32, (b, p), 1)
     valid = pos < lengths[:, None]
-
     # Per-row LUTs: one-hot matmul against each row's table. vmap over rows.
     ln = jax.vmap(lut_nibble)(x, code_lens)
     val = jax.vmap(lut_nibble_u32_rows)(x, code_vals)
     ln = jnp.where(valid, ln, 0)
-
     off = exclusive_cumsum(ln, axis=1)  # bit offsets
-    total_bits = off[:, -1] + ln[:, -1]
-    out_len = (total_bits + 7) >> 3
+    out_len = (off[:, -1] + ln[:, -1] + 7) >> 3
+    return off, val, valid, out_len
 
+
+def pack_stage2(off: jnp.ndarray, val: jnp.ndarray, valid: jnp.ndarray):
+    """Emission: 5 sorted scatter-adds of the shifted code bytes."""
+    b, p = off.shape
+    out_p = pack_out_bound(p)
     byte_pos = off >> 3
     sh = (off & 7).astype(jnp.uint32)
     # 40-bit window W = val << (8 - sh), bytes big-endian b0..b4
@@ -74,7 +77,32 @@ def pack_batch(x: jnp.ndarray, lengths: jnp.ndarray,
         vk = jnp.where(vmask, bk.ravel().astype(jnp.int32), 0)
         out = out.at[flat_base + k].add(vk, indices_are_sorted=True,
                                         mode="drop")
-    return out.reshape(b, out_p).astype(jnp.uint8), out_len
+    return out.reshape(b, out_p).astype(jnp.uint8)
+
+
+_stage1_jit = jax.jit(pack_stage1)
+_stage2_jit = jax.jit(pack_stage2)
+
+
+def pack_batch(x: jnp.ndarray, lengths: jnp.ndarray,
+               code_lens: jnp.ndarray, code_vals: jnp.ndarray):
+    """Pack (B, P) uint8 symbol streams with per-block code tables.
+
+    code_lens: (B, 256) int32; code_vals: (B, 256) uint32 (left-aligned).
+    Returns ((B, 4P+16) uint8 packed, (B,) packed byte lengths).
+
+    Dispatches the two stages as separate jit calls (device-resident
+    between them) — see pack_stage1 for why they must not fuse.
+    """
+    off, val, valid, out_len = _stage1_jit(x, lengths, code_lens, code_vals)
+    return _stage2_jit(off, val, valid), out_len
+
+
+def pack_batch_fused(x, lengths, code_lens, code_vals):
+    """Single-graph composite (for shard_map on CPU meshes / interpreters
+    where the split isn't needed and a single jittable callee is)."""
+    off, val, valid, out_len = pack_stage1(x, lengths, code_lens, code_vals)
+    return pack_stage2(off, val, valid), out_len
 
 
 def lut_nibble_u32_rows(x_row: jnp.ndarray, tab_row: jnp.ndarray):

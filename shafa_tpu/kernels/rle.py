@@ -39,8 +39,12 @@ MIN_ESCAPE_RUN = 4
 
 
 def rle_out_bound(p: int) -> int:
-    """Worst-case RLE output for a p-byte block (alternating 0,x doubles)."""
-    return 2 * p + 8
+    """Worst-case RLE output for a p-byte block (alternating 0,x doubles).
+
+    Rounded up to a 512-multiple: a ragged last dim (2p+8 is not a lane
+    multiple) propagates into every downstream kernel and measurably
+    inflates Mosaic compile times."""
+    return (2 * p + 8 + 511) & ~511
 
 
 @jax.jit

@@ -1,0 +1,279 @@
+"""Multi-host execution: DCN scale-out of the block-parallel codec.
+
+The reference is single-process (SURVEY.md §5.8: no MPI/NCCL/sockets — the
+pthread join chain is its whole communication layer). The TPU-native
+equivalent for N hosts x M chips:
+
+  * hosts join one JAX runtime via ``jax.distributed.initialize`` (env-driven:
+    COORDINATOR_ADDRESS, NUM_PROCESSES, PROCESS_ID — or auto on TPU pods);
+  * blocks are partitioned into CONTIGUOUS per-host ranges in block order —
+    the reference's ordered-write guarantee (multithread.c:79) becomes a
+    deterministic block->host map plus offset-addressed writes;
+  * each host reads only its byte range of the input and encodes it locally
+    (single-host fused path over its local chips);
+  * the only cross-host exchanges are KB-scale: per-block sizes and 256-bin
+    histograms, all-gathered so every host can (a) compute the byte offset
+    of its output shard and (b) build identical .cod tables;
+  * every host pwrites its own shard of .rle/.shaf at its computed offset
+    into the shared file (shared FS assumed, as on TPU pods); host 0 writes
+    the tiny ASCII sidecars (.freq/.cod) and headers.
+
+Tested by running the partition/splice machinery with a simulated
+(process_index, process_count) in one process (tests/test_multihost.py) —
+the same code path a real pod takes, minus the DCN transport, which is
+jax.distributed's responsibility.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from . import codes as codes_mod
+from . import formats, geometry
+from .errors import FileInaccessibleError, FileTooSmallError
+
+
+def init_from_env() -> None:
+    """Join the multi-host runtime. On TPU pods jax.distributed.initialize()
+    autodetects; otherwise COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID."""
+    import jax
+    if jax.process_count() > 1:
+        return  # already initialized
+    if os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["NUM_PROCESSES"]),
+            process_id=int(os.environ["PROCESS_ID"]))
+    else:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process fallback
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockRange:
+    """Contiguous block range [lo, hi) owned by one host."""
+    lo: int
+    hi: int
+
+    @property
+    def n(self) -> int:
+        return self.hi - self.lo
+
+
+def partition_blocks(n_blocks: int, process_count: int,
+                     process_index: int) -> BlockRange:
+    """Contiguous, balanced split: host h owns blocks [h*n//H, (h+1)*n//H).
+
+    Contiguity keeps every host's input read and output write a single
+    extent, and makes ordered reassembly pure offset arithmetic."""
+    lo = n_blocks * process_index // process_count
+    hi = n_blocks * (process_index + 1) // process_count
+    return BlockRange(lo, hi)
+
+
+class Comm:
+    """Host-level communication: process identity + small-array all-gather.
+
+    The production implementation rides jax.distributed (DCN); tests inject
+    a thread-barrier implementation to simulate N hosts in one process
+    (tests/test_multihost.py) — the codec logic is identical either way.
+    """
+
+    @property
+    def index(self) -> int:
+        import jax
+        return jax.process_index()
+
+    @property
+    def count(self) -> int:
+        import jax
+        return jax.process_count()
+
+    def allgather(self, local: np.ndarray) -> np.ndarray:
+        """Concatenate each host's int64 array along axis 0, process order.
+        Only KB-scale metadata (sizes, histograms) ever crosses hosts."""
+        if self.count <= 1:
+            return np.asarray(local)
+        from jax.experimental import multihost_utils
+        return np.asarray(
+            multihost_utils.process_allgather(np.asarray(local), tiled=True))
+
+
+def read_block_range(path: str, sizes: list[int], rng: BlockRange
+                     ) -> list[np.ndarray]:
+    """Read only this host's blocks (single contiguous pread)."""
+    start = sum(sizes[: rng.lo])
+    nbytes = sum(sizes[rng.lo: rng.hi])
+    with open(path, "rb") as fp:
+        fp.seek(start)
+        buf = np.frombuffer(fp.read(nbytes), np.uint8)
+    out, pos = [], 0
+    for s in sizes[rng.lo: rng.hi]:
+        out.append(buf[pos: pos + s])
+        pos += s
+    return out
+
+
+def write_at(path: str, offset: int, data: bytes,
+             total_size: int | None = None) -> None:
+    """Positional write into a (shared-FS) file, creating/extending it.
+
+    total_size (the final file size, known identically on every host from
+    the gathered sizes) truncates stale bytes from a previous run; it never
+    cuts live data, so no cross-host ordering is required."""
+    fd = os.open(path, os.O_WRONLY | os.O_CREAT, 0o644)
+    try:
+        if total_size is not None:
+            os.ftruncate(fd, total_size)
+        if data:
+            os.pwrite(fd, data, offset)
+    finally:
+        os.close(fd)
+
+
+def shaf_frame(payload: bytes) -> bytes:
+    return f"@{len(payload)}@".encode("ascii") + payload
+
+
+def shaf_offsets(payload_sizes: np.ndarray) -> tuple[np.ndarray, int]:
+    """Byte offset of every block's frame within the .shaf file, + total.
+
+    Header is '@<n_blocks>'; each frame '@<size>@<payload>' (c.c:351,256-258).
+    Every host computes this identically from the all-gathered sizes."""
+    n = len(payload_sizes)
+    header = len(f"@{n}")
+    frame_sizes = np.array(
+        [len(f"@{int(s)}@") + int(s) for s in payload_sizes], np.int64)
+    offs = header + np.concatenate(([0], np.cumsum(frame_sizes)[:-1]))
+    return offs, int(header + frame_sizes.sum())
+
+
+def compress_multihost(path: str, block_size: int, backend,
+                       comm: Comm | None = None,
+                       force_rle: bool = False,
+                       force_freq: bool = False) -> str:
+    """Modules F+T+C across hosts; byte-identical output files to the
+    single-host pipeline (differential-tested in tests/test_multihost.py).
+
+    Every host executes this same function; writes are offset-disjoint, so
+    ordering between hosts is irrelevant (no barrier needed before the data
+    writes; callers that must observe a complete file barrier afterwards
+    via jax.experimental.multihost_utils.sync_global_devices)."""
+    comm = comm or Comm()
+    pi, pc = comm.index, comm.count
+
+    if not os.path.isfile(path):
+        raise FileInaccessibleError(path)
+    geo = geometry.geometry_for_file(path, block_size)
+    if geo.total < geometry.MIN_FILE_SIZE:
+        raise FileTooSmallError(path)
+    sizes = geo.sizes()
+    rng = partition_blocks(geo.n_blocks, pc, pi)
+    blocks = read_block_range(path, sizes, rng)
+
+    # Local fused encode (device-resident RLE + histograms).
+    handle = backend.fused_encode(blocks)
+    my_rle_sizes = backend.fused_rle_sizes(handle)
+    rle_sizes = comm.allgather(my_rle_sizes)
+
+    # Gate from global block 0 (f.c:250-257) — every host computes the same
+    # decision from the gathered sizes.
+    ratio = (sizes[0] - int(rle_sizes[0])) / sizes[0]
+    compress_rle = force_rle or ratio >= 0.05
+
+    path_rle = formats.add_ext(path, formats.RLE_EXT)
+    if compress_rle:
+        my_freqs = backend.fused_rle_hists(handle)
+        rle_bytes = backend.fused_rle_bytes(handle)
+        rle_offs = np.concatenate(([0], np.cumsum(rle_sizes)))
+        write_at(path_rle, int(rle_offs[rng.lo]), rle_bytes.tobytes(),
+                 total_size=int(rle_offs[-1]))
+        freqs = comm.allgather(my_freqs)
+        stream_sizes = rle_sizes
+        mode = "R"
+        if pi == 0:
+            with open(formats.add_ext(path_rle, formats.FREQ_EXT),
+                      "wb") as fp:
+                formats.write_freq_arrays(fp, "R", rle_sizes, freqs)
+    if force_freq or not compress_rle:
+        my_nfreqs = backend.fused_raw_hists(handle)
+        nfreqs = comm.allgather(my_nfreqs)
+        if pi == 0:
+            with open(formats.add_ext(path, formats.FREQ_EXT), "wb") as fp:
+                formats.write_freq_arrays(fp, "N", sizes, nfreqs)
+        if not compress_rle:
+            mode, stream_sizes, freqs = "N", np.asarray(sizes), nfreqs
+
+    # Module T: identical tables on every host (deterministic construction
+    # from the gathered histograms) — no broadcast needed.
+    tables = codes_mod.build_code_tables(freqs)
+    data_path = path_rle if compress_rle else path
+    if pi == 0:
+        with open(formats.add_ext(data_path, formats.CODES_EXT), "wb") as fp:
+            formats.write_cod_tables(fp, mode,
+                                     [int(s) for s in stream_sizes], tables)
+
+    # Module C: pack local blocks against the GLOBAL table rows.
+    my_tables = codes_mod.CodeTables(
+        tables.lens[rng.lo: rng.hi], tables.vals[rng.lo: rng.hi],
+        {i - rng.lo: v for i, v in tables.overflow.items()
+         if rng.lo <= i < rng.hi})
+    if compress_rle:
+        local_offs = np.concatenate(([0], np.cumsum(my_rle_sizes)))
+
+        def host_row(i):
+            return rle_bytes[local_offs[i]: local_offs[i + 1]]
+    else:
+        def host_row(i):
+            return blocks[i]
+    payloads = backend.fused_pack(handle, my_tables, compress_rle, host_row)
+
+    my_psizes = np.array([len(p) for p in payloads], np.int64)
+    psizes = comm.allgather(my_psizes)
+    offs, total = shaf_offsets(psizes)
+    path_shafa = formats.add_ext(data_path, formats.SHAFA_EXT)
+    if pi == 0:
+        write_at(path_shafa, 0, f"@{geo.n_blocks}".encode("ascii"),
+                 total_size=total)
+    if rng.n:
+        blob = b"".join(shaf_frame(p) for p in payloads)
+        write_at(path_shafa, int(offs[rng.lo]), blob, total_size=total)
+    return path_shafa
+
+
+def decompress_multihost(path: str, backend,
+                         comm: Comm | None = None) -> str:
+    """Module D across hosts: each host decodes its contiguous block range
+    and pwrites at the offset implied by the (known) decoded sizes."""
+    comm = comm or Comm()
+    pi, pc = comm.index, comm.count
+
+    path_tmp = formats.rm_ext(path)  # strip .shaf
+    rle = formats.check_ext(path_tmp, formats.RLE_EXT)
+    path_wrt = formats.rm_ext(path_tmp) if rle else path_tmp
+    with open(formats.add_ext(path_tmp, formats.CODES_EXT), "rb") as fp:
+        mode, block_sizes, tables = formats.parse_cod_tables(fp.read())
+    with open(path, "rb") as fp:
+        payloads = formats.parse_shaf_frames(fp.read())
+
+    rng = partition_blocks(len(payloads), pc, pi)
+    my_tables = codes_mod.CodeTables(
+        tables.lens[rng.lo: rng.hi], tables.vals[rng.lo: rng.hi],
+        {i - rng.lo: v for i, v in tables.overflow.items()
+         if rng.lo <= i < rng.hi})
+    out_blocks = backend.fused_decode(
+        payloads[rng.lo: rng.hi], my_tables, block_sizes[rng.lo: rng.hi],
+        expand=rle and mode == "R")
+
+    my_sizes = np.array([b.size for b in out_blocks], np.int64)
+    out_sizes = comm.allgather(my_sizes)
+    offs = np.concatenate(([0], np.cumsum(out_sizes)))
+    write_at(path_wrt, int(offs[rng.lo]),
+             b"".join(b.tobytes() for b in out_blocks),
+             total_size=int(offs[-1]))
+    return path_wrt
