@@ -1,8 +1,11 @@
 """CLI — flag-compatible with the reference (src/shafa.c:47-132, 150-259).
 
 Flags: <file>  -m f|t|c|d (repeatable)  -b K|m|M  -c r|f  -d s|r
-       --no-multithread (accepted; maps to single-device, unbatched execution)
-Extra (TPU-side, not present in the reference): --backend numpy|jax.
+       --no-multithread (one block per device batch: the sequential oracle
+       for the batched path, like the reference's flag for its thread pool)
+Extra (TPU-side, not in the reference): --backend numpy|jax, --check
+(cross-verify every device stage against the numpy oracle), --json PATH|-
+(structured per-module metrics), --profile DIR (jax.profiler trace).
 
 Defaulting (shafa.c:293-305): with no -m, a .shaf input runs D only, anything
 else runs F+T+C; with no -b the block size is 64 KiB (the reference's code
@@ -40,6 +43,9 @@ class Options:
     d_rle: bool = False
     no_multithread: bool = False
     backend: str = "auto"
+    check: bool = False
+    json_path: str = ""
+    profile_dir: str = ""
 
 
 def parse(argv: list[str]) -> tuple[Options, str | None] | None:
@@ -52,11 +58,23 @@ def parse(argv: list[str]) -> tuple[Options, str | None] | None:
         key = argv[i]
         if key == "--no-multithread":
             opts.no_multithread = True
+        elif key == "--check":  # extension flag, not in the reference
+            opts.check = True
         elif key == "--backend":  # extension flag, not in the reference
             i += 1
             if i >= len(argv) or argv[i] not in ("numpy", "jax", "auto"):
                 return None
             opts.backend = argv[i]
+        elif key == "--json":  # extension flag, not in the reference
+            i += 1
+            if i >= len(argv):
+                return None
+            opts.json_path = argv[i]
+        elif key == "--profile":  # extension flag, not in the reference
+            i += 1
+            if i >= len(argv):
+                return None
+            opts.profile_dir = argv[i]
         elif not key.startswith("-"):
             if file is not None:
                 return None
@@ -154,10 +172,23 @@ def _print_summary_d(r: StageReport) -> None:
     print(f"Generated file {r.generated[0]}")
 
 
-def execute_modules(opts: Options, path: str) -> int:
+def _make_backend(opts: Options):
+    if opts.backend == "numpy":
+        backend = pipeline.NumpyBackend()
+    else:
+        from .device import JaxBackend  # deferred: importing jax is slow
+        backend = JaxBackend(sequential=opts.no_multithread)
+    if opts.check:
+        backend = pipeline.CheckedBackend(backend)
+    return backend
+
+
+def execute_modules(opts: Options, path: str,
+                    reports: list[StageReport] | None = None) -> int:
     """Mirror of execute_modules (shafa.c:150-259): same conflicts, same
     stderr lines, same chaining."""
-    backend = pipeline.get_backend(opts.backend)
+    backend = _make_backend(opts)
+    reports = reports if reports is not None else []
     decompressed = False
 
     if opts.module_f and opts.module_t and opts.module_c:
@@ -178,6 +209,7 @@ def execute_modules(opts: Options, path: str) -> int:
             else:
                 print("Module c: Something went wrong...", file=sys.stderr)
             return e.code
+        reports.extend(reps)
         _print_summary_f(reps[0])
         _print_summary_t(reps[1])
         _print_summary_c(reps[2])
@@ -195,6 +227,7 @@ def execute_modules(opts: Options, path: str) -> int:
             print("Module f: Something went wrong while compressing with RLE"
                   " or creating frequencies' table...", file=sys.stderr)
             return e.code
+        reports.append(rep)
         _print_summary_f(rep)
 
     if opts.module_t:
@@ -210,6 +243,7 @@ def execute_modules(opts: Options, path: str) -> int:
         except ShafaError as e:
             print("Module t: Something went wrong...", file=sys.stderr)
             return e.code
+        reports.append(rep)
         _print_summary_t(rep)
 
     if opts.module_c:
@@ -222,6 +256,7 @@ def execute_modules(opts: Options, path: str) -> int:
         except ShafaError as e:
             print("Module c: Something went wrong...", file=sys.stderr)
             return e.code
+        reports.append(rep)
         _print_summary_c(rep)
 
     if opts.module_d:
@@ -259,6 +294,7 @@ def execute_modules(opts: Options, path: str) -> int:
                     print("Module d: Something went wrong while"
                           " decompressing...", file=sys.stderr)
                     return e.code
+                reports.append(rep)
                 _print_summary_d(rep)
                 decompressed = True
 
@@ -273,6 +309,7 @@ def execute_modules(opts: Options, path: str) -> int:
                 print("Module d: Something went wrong while decompressing...",
                       file=sys.stderr)
                 return e.code
+            reports.append(rep)
             _print_summary_d(rep)
 
     return Code.SUCCESS
@@ -301,12 +338,47 @@ def main(argv: list[str] | None = None) -> int:
     if not opts.block_size:
         opts.block_size = geometry.CLI_DEFAULT_BLOCK_SIZE
 
-    error = execute_modules(opts, file)
+    reports: list[StageReport] = []
+    if opts.profile_dir:
+        import jax
+        with jax.profiler.trace(opts.profile_dir):
+            error = execute_modules(opts, file, reports)
+    else:
+        error = execute_modules(opts, file, reports)
+    if opts.json_path:
+        _emit_json(opts.json_path, reports, error)
     if error:
         if error != Code.OUTSIDE_MODULE:
             print(error_msg(error), end="", file=sys.stderr)
         return 1
     return 0
+
+
+def _emit_json(path: str, reports: list[StageReport], error: int) -> None:
+    """Structured metrics (extension; SURVEY.md §5.5): per-module sizes,
+    ratio, runtime, and throughput — machine-readable for GB/s and
+    scaling-efficiency accounting."""
+    import json
+    out = {"error": int(error), "modules": []}
+    for r in reports:
+        before, after = sum(r.sizes_before), sum(r.sizes_after)
+        out["modules"].append({
+            "module": r.module,
+            "n_blocks": r.n_blocks,
+            "bytes_in": before,
+            "bytes_out": after,
+            "ratio": round(after / before, 6) if before else None,
+            "runtime_ms": round(r.runtime_ms, 3),
+            "throughput_mb_s": round(before / 1e3 / r.runtime_ms, 3)
+            if r.runtime_ms else None,
+            "generated": r.generated,
+        })
+    data = json.dumps(out, indent=2)
+    if path == "-":
+        print(data)
+    else:
+        with open(path, "w") as fp:
+            fp.write(data)
 
 
 if __name__ == "__main__":

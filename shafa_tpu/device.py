@@ -162,12 +162,21 @@ class JaxBackend:
     byte-identical regardless of device count.
     """
 
-    def __init__(self, mesh=None):
+    def __init__(self, mesh=None, sequential=False):
         if mesh is not None:
             from .dist import ShardedKernels
             self._sk = ShardedKernels(mesh)
         else:
             self._sk = None
+        #: --no-multithread analogue: one block per device batch — the
+        #: sequential oracle for the batched path (reference shafa.c:55-56;
+        #: SURVEY.md §4 'Distributed level').
+        self.sequential = bool(sequential)
+
+    def _batches_for(self, n_blocks: int, p: int):
+        if self.sequential:
+            return ((i, i + 1) for i in range(n_blocks))
+        return _batches(n_blocks, p)
 
     # -- kernel dispatch (single-device or sharded) -------------------------
 
@@ -213,7 +222,7 @@ class JaxBackend:
             return []
         out = []
         stacked, lens = _stack_blocks(blocks)
-        for lo, hi in _batches(len(blocks), stacked.shape[1]):
+        for lo, hi in self._batches_for(len(blocks), stacked.shape[1]):
             enc, out_len = self._k_rle_encode(stacked[lo:hi], lens[lo:hi])
             out.extend(enc[i, : out_len[i]] for i in range(hi - lo))
         return out
@@ -223,7 +232,7 @@ class JaxBackend:
             return []
         stacked, lens = _stack_blocks(blocks)
         out = []
-        for lo, hi in _batches(len(blocks), stacked.shape[1]):
+        for lo, hi in self._batches_for(len(blocks), stacked.shape[1]):
             h = self._k_histogram(stacked[lo:hi], lens[lo:hi])
             out.extend(np.asarray(h).astype(np.int64))
         return out
@@ -249,7 +258,7 @@ class JaxBackend:
             lens_arr = tables.lens[fast_idx].astype(np.int32)
             vals_arr = (tables.vals[fast_idx] >> np.uint64(32)) \
                 .astype(np.uint32)
-            for lo, hi in _batches(len(fast_idx), stacked.shape[1]):
+            for lo, hi in self._batches_for(len(fast_idx), stacked.shape[1]):
                 packed, plen = self._k_pack(
                     stacked[lo:hi], lens[lo:hi],
                     lens_arr[lo:hi], vals_arr[lo:hi])
@@ -277,7 +286,7 @@ class JaxBackend:
             tab = kdecode.decode_tables_batch(tables.lens[fast_idx],
                                               tables.vals[fast_idx])
             out_p = _bucket(int(counts.max()))
-            for lo, hi in _batches(len(fast_idx), stacked.shape[1] * 8):
+            for lo, hi in self._batches_for(len(fast_idx), stacked.shape[1] * 8):
                 sub_tab = {k: v[lo:hi] for k, v in tab.items()}
                 out, underrun = self._k_decode(
                     stacked[lo:hi], plens[lo:hi], sub_tab,
@@ -296,7 +305,7 @@ class JaxBackend:
         sizes = self._k_expand_sizes(stacked, lens)
         out_p = _bucket(int(sizes.max()) if sizes.size else 1)
         out = []
-        for lo, hi in _batches(len(blocks), max(stacked.shape[1], out_p)):
+        for lo, hi in self._batches_for(len(blocks), max(stacked.shape[1], out_p)):
             ex, ex_len = self._k_expand(stacked[lo:hi], lens[lo:hi], out_p)
             out.extend(ex[i, : ex_len[i]] for i in range(hi - lo))
         return out
@@ -305,7 +314,7 @@ class JaxBackend:
 
     @property
     def supports_fused(self) -> bool:
-        return self._sk is None
+        return self._sk is None and not self.sequential
 
     def fused_encode(self, blocks) -> _EncodeHandle:
         """Upload blocks once; run RLE + histogram-of-RLE on device.

@@ -51,6 +51,79 @@ class Backend(Protocol):
     def rle_expand(self, blocks: Sequence[np.ndarray]) -> list[np.ndarray]: ...
 
 
+class _AtomicFile:
+    """Write-to-temp + rename: a failed run never leaves a partial output.
+
+    The reference leaves partially-written files on any error (SURVEY.md
+    §5.3: drivers close but never unlink, e.g. c.c:430-436); per-block
+    independence makes clean restart cheap, so we improve on it — a
+    documented deviation (docs/DEVIATIONS.md)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.tmp = path + ".shafa_tmp"
+        self.fp = None
+
+    def __enter__(self):
+        self.fp = open(self.tmp, "wb")
+        return self.fp
+
+    def __exit__(self, et, ev, tb):
+        self.fp.close()
+        if et is None:
+            os.replace(self.tmp, self.path)
+        else:
+            try:
+                os.unlink(self.tmp)
+            except OSError:
+                pass
+        return False
+
+
+class CheckedBackend:
+    """--check mode: every device stage cross-verified against the numpy
+    oracle (SURVEY.md §5.2 — races/kernels are designed out by jit purity;
+    this guards the remaining risk: kernel/fallback divergence)."""
+
+    supports_fused = False  # check the per-stage path, stage by stage
+
+    def __init__(self, inner: "Backend"):
+        self.inner = inner
+        self.oracle = NumpyBackend()
+
+    def _cmp(self, stage, got, want):
+        for i, (g, w) in enumerate(zip(got, want)):
+            ga = g if isinstance(g, bytes) else np.asarray(g)
+            wa = w if isinstance(w, bytes) else np.asarray(w)
+            same = (ga == wa) if isinstance(ga, bytes) else \
+                (ga.shape == wa.shape and bool((ga == wa).all()))
+            if not same:
+                raise AssertionError(
+                    f"--check: {stage} mismatch vs oracle at block {i}")
+        return got
+
+    def rle_encode(self, blocks):
+        return self._cmp("rle_encode", self.inner.rle_encode(blocks),
+                         self.oracle.rle_encode(blocks))
+
+    def histogram(self, blocks):
+        return self._cmp("histogram", self.inner.histogram(blocks),
+                         self.oracle.histogram(blocks))
+
+    def pack(self, blocks, tables):
+        return self._cmp("pack", self.inner.pack(blocks, tables),
+                         self.oracle.pack(blocks, tables))
+
+    def unpack(self, payloads, tables, out_counts):
+        return self._cmp("unpack",
+                         self.inner.unpack(payloads, tables, out_counts),
+                         self.oracle.unpack(payloads, tables, out_counts))
+
+    def rle_expand(self, blocks):
+        return self._cmp("rle_expand", self.inner.rle_expand(blocks),
+                         self.oracle.rle_expand(blocks))
+
+
 class NumpyBackend:
     """Host fallback / differential baseline; exact per oracle.py."""
 
@@ -143,17 +216,17 @@ def module_f(path: str, force_rle: bool, force_freq: bool, block_size: int,
         rle_blocks = [rle0] + backend.rle_encode(blocks[1:])
         rle_sizes = [b.size for b in rle_blocks]
         freqs = backend.histogram(rle_blocks)
-        with open(path_rle, "wb") as fp:
+        with _AtomicFile(path_rle) as fp:
             for b in rle_blocks:
                 fp.write(b.tobytes())
         path_rle_freq = formats.add_ext(path_rle, formats.FREQ_EXT)
-        with open(path_rle_freq, "wb") as fp:
+        with _AtomicFile(path_rle_freq) as fp:
             formats.write_freq_arrays(fp, "R", rle_sizes, np.stack(freqs))
         generated += [path_rle, path_rle_freq]
     if force_freq or not compress_rle:
         freqs = backend.histogram(blocks)
         path_freq = formats.add_ext(path, formats.FREQ_EXT)
-        with open(path_freq, "wb") as fp:
+        with _AtomicFile(path_freq) as fp:
             formats.write_freq_arrays(fp, "N", sizes, np.stack(freqs))
         generated.append(path_freq)
 
@@ -222,18 +295,18 @@ def compress_pipeline(path: str, force_rle: bool, force_freq: bool,
     if compress_rle:
         rle_flat = backend.fused_rle_bytes(handle)
         rle_offs = np.concatenate(([0], np.cumsum(rle_sizes)))
-        with open(path_rle, "wb") as fp:
+        with _AtomicFile(path_rle) as fp:
             fp.write(rle_flat.tobytes())
         freqs = backend.fused_rle_hists(handle)
         path_rle_freq = formats.add_ext(path_rle, formats.FREQ_EXT)
-        with open(path_rle_freq, "wb") as fp:
+        with _AtomicFile(path_rle_freq) as fp:
             formats.write_freq_arrays(fp, "R", rle_sizes, freqs)
         generated += [path_rle, path_rle_freq]
         mode, stream_sizes = "R", [int(s) for s in rle_sizes]
     if force_freq or not compress_rle:
         nfreqs = backend.fused_raw_hists(handle)
         path_freq = formats.add_ext(path, formats.FREQ_EXT)
-        with open(path_freq, "wb") as fp:
+        with _AtomicFile(path_freq) as fp:
             formats.write_freq_arrays(fp, "N", sizes, nfreqs)
         generated.append(path_freq)
         if not compress_rle:
@@ -249,7 +322,7 @@ def compress_pipeline(path: str, force_rle: bool, force_freq: bool,
     try:
         tables = codes_mod.build_code_tables(freqs)
         path_cod = formats.add_ext(data_path, formats.CODES_EXT)
-        with open(path_cod, "wb") as fp:
+        with _AtomicFile(path_cod) as fp:
             formats.write_cod_tables(fp, mode, stream_sizes, tables)
     except ShafaError as e:
         e.stage = "t"
@@ -269,7 +342,7 @@ def compress_pipeline(path: str, force_rle: bool, force_freq: bool,
     try:
         payloads = backend.fused_pack(handle, tables, compress_rle, host_row)
         path_shafa = formats.add_ext(data_path, formats.SHAFA_EXT)
-        with open(path_shafa, "wb") as fp:
+        with _AtomicFile(path_shafa) as fp:
             formats.write_shaf_header(fp, geo.n_blocks)
             for p in payloads:
                 formats.write_shaf_block(fp, p)
@@ -293,7 +366,7 @@ def module_t(path: str) -> tuple[str, StageReport]:
         _open_read(formats.add_ext(path, formats.FREQ_EXT)))
     tables = codes_mod.build_code_tables(freqs)
     path_cod = formats.add_ext(path, formats.CODES_EXT)
-    with open(path_cod, "wb") as fp:
+    with _AtomicFile(path_cod) as fp:
         formats.write_cod_tables(fp, mode, block_sizes, tables)
     report = StageReport(
         module="t", n_blocks=len(block_sizes), sizes_before=block_sizes,
@@ -317,7 +390,7 @@ def module_c(path: str, backend: Backend) -> tuple[str, StageReport]:
     blocks = _read_blocks(path, block_sizes)
     payloads = backend.pack(blocks, tables)
     path_shafa = formats.add_ext(path, formats.SHAFA_EXT)
-    with open(path_shafa, "wb") as fp:
+    with _AtomicFile(path_shafa) as fp:
         formats.write_shaf_header(fp, len(block_sizes))
         for p in payloads:
             formats.write_shaf_block(fp, p)
@@ -356,7 +429,7 @@ def module_d_shafa(path: str, rle_decompression: bool,
             out_blocks = backend.rle_expand(decoded)
         else:
             out_blocks = decoded
-    with open(path_wrt, "wb") as fp:
+    with _AtomicFile(path_wrt) as fp:
         for b in out_blocks:
             fp.write(b.tobytes())
     report = StageReport(
@@ -378,7 +451,7 @@ def module_d_rle(path: str, backend: Backend) -> tuple[str, StageReport]:
     blocks = _read_blocks(path, freq.block_sizes)
     out_blocks = backend.rle_expand(blocks)
     path_wrt = formats.rm_ext(path)
-    with open(path_wrt, "wb") as fp:
+    with _AtomicFile(path_wrt) as fp:
         for b in out_blocks:
             fp.write(b.tobytes())
     report = StageReport(
