@@ -117,7 +117,7 @@ def _hist_step():
 
 
 def _pack_step():
-    return kpack.pack_batch  # dispatches its two jit stages itself
+    return kpack.pack_batch_compact  # dispatches its jit stages itself
 
 
 def _decode_step():
@@ -383,7 +383,6 @@ class JaxBackend:
         results: list[bytes | None] = [None] * n_total
         maxlen = tables.lens.max(axis=1)
         pack = _pack_step()
-        compact = _compact_step()
         base = 0
         for b in h.batches:
             n = b["n"]
@@ -406,12 +405,9 @@ class JaxBackend:
             cl[:n] = tables.lens[sel].astype(np.int32)
             cv[:n] = (tables.vals[sel] >> np.uint64(32)).astype(np.uint32)
             np.clip(cl, 0, 32, out=cl)
-            packed, plen = pack(src, src_len, cl, cv)
-            plen_np = np.asarray(plen).copy()
-            plen_np[n:] = 0
+            flat, plen_np = pack(src, src_len, cl, cv, _dl_bucket)
             total = int(plen_np.sum())
-            flat = np.asarray(compact(packed, plen_np,
-                                      out_sz=_dl_bucket(total)))[:total]
+            flat = np.asarray(flat)[:total]
             for j, row in enumerate(_split_rows(flat, plen_np[:n])):
                 if base + j not in fallback:
                     results[base + j] = row.tobytes()
