@@ -471,14 +471,11 @@ class JaxBackend:
             if expand:
                 sizes = np.asarray(_expand_sizes_step()(dec, counts)).copy()
                 sizes[nb:] = 0
-                ex_p = _bucket(int(sizes.max()) if sizes.size else 1)
-                ex, ex_len = _expand_step()(dec, counts, out_p=ex_p)
-                ex_len = np.asarray(ex_len).copy()
-                ex_len[nb:] = 0
-                total = int(ex_len.sum())
-                flat = np.asarray(compact(ex, ex_len,
-                                          out_sz=_dl_bucket(total)))[:total]
-                out_rows = _split_rows(flat, ex_len[:nb])
+                total = int(sizes.sum())
+                flat = np.asarray(krle.rle_expand_compact(
+                    dec, jnp.asarray(counts),
+                    out_sz=_dl_bucket(total)))[:total]
+                out_rows = _split_rows(flat, sizes[:nb])
             else:
                 cts = counts.copy()
                 total = int(cts.sum())

@@ -43,6 +43,31 @@ def lut_nibble_u32(x: jnp.ndarray, table_u32: np.ndarray) -> jnp.ndarray:
     return (hi.astype(jnp.uint32) << 16) | lo.astype(jnp.uint32)
 
 
+#: Query-chunk width for output-centric emission. Each chunk's ~30
+#: gather/elementwise intermediates are materialized by XLA (gathers don't
+#: fuse as producers on TPU); chunking through lax.map reuses one chunk's
+#: buffers across iterations instead of allocating all of them at once
+#: (observed 108 GB HBM peak for an unrolled 536M-query emission).
+EMIT_CHUNK = 1 << 22
+
+
+def map_query_chunks(emit, n: int, chunk: int = EMIT_CHUNK) -> jnp.ndarray:
+    """concat(emit(q) for q in chunks of [0, n)) with buffer reuse.
+
+    emit takes a (chunk,) int32 array of global query indices (values >= n
+    possible in the last chunk — emit must mask) and returns a (chunk,)
+    array. Single-chunk calls skip the scan wrapper entirely.
+    """
+    if n <= chunk:
+        q = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0]
+        return emit(q)
+    n_chunks = -(-n // chunk)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)[0]
+    out = jax.lax.map(lambda c: emit(c * chunk + iota),
+                      jnp.arange(n_chunks, dtype=jnp.int32))
+    return out.reshape(n_chunks * chunk)[:n]
+
+
 def searchsorted_last_le(keys_flat: jnp.ndarray, base: jnp.ndarray,
                          n: int, q: jnp.ndarray) -> jnp.ndarray:
     """Vectorized per-segment binary search: last k with keys[base+k] <= q.
@@ -80,15 +105,19 @@ def compact_rows(rows: jnp.ndarray, lens: jnp.ndarray, out_sz: int):
     b, q = rows.shape
     lens = lens.astype(jnp.int32)
     bounds = jnp.cumsum(lens)  # (B,) row end offsets
-    pos = jax.lax.broadcasted_iota(jnp.int32, (1, out_sz), 1)[0]
-    # row r covers [bounds[r-1], bounds[r]): first r with bounds[r] > pos
-    r = searchsorted_last_le(bounds, jnp.int32(0), b, pos) + 1
-    r = jnp.minimum(r, b - 1)
-    start = bounds[r] - lens[r]
-    valid = pos < bounds[b - 1]
-    src = r * q + (pos - start)
-    out = rows.ravel()[jnp.where(valid, src, 0)]
-    return jnp.where(valid, out, 0).astype(jnp.uint8)
+    rows_flat = rows.ravel()
+
+    def emit(pos):
+        # row r covers [bounds[r-1], bounds[r]): first r with bounds[r] > pos
+        r = searchsorted_last_le(bounds, jnp.int32(0), b, pos) + 1
+        r = jnp.minimum(r, b - 1)
+        start = bounds[r] - lens[r]
+        valid = pos < bounds[b - 1]
+        src = r * q + (pos - start)
+        out = rows_flat[jnp.where(valid, src, 0)]
+        return jnp.where(valid, out, 0).astype(jnp.uint8)
+
+    return map_query_chunks(emit, out_sz)
 
 
 def segment_fill(markers: jnp.ndarray, axis: int = -1) -> jnp.ndarray:

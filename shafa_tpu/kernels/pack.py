@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ops import exclusive_cumsum, lut_nibble, lut_nibble_u32, \
-    searchsorted_last_le
+    map_query_chunks, searchsorted_last_le
 
 MAX_CODE_BITS = 32
 #: max symbols whose bit interval can intersect one output byte
@@ -95,13 +95,17 @@ def pack_stage2(off: jnp.ndarray, val: jnp.ndarray, bit_total: jnp.ndarray):
     """
     b, p = off.shape
     out_p = pack_out_bound(p)
-    off_ext = jnp.concatenate([off, bit_total[:, None]], axis=1)
-    o = jax.lax.broadcasted_iota(jnp.int32, (b, out_p), 1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (b, out_p), 0)
-    byte = _emit_bytes(off_ext.ravel(), val.ravel(),
-                       (rows * (p + 1)).ravel(), (rows * p).ravel(),
-                       p, (o * 8).ravel())
-    return byte.reshape(b, out_p).astype(jnp.uint8)
+    off_ext_flat = jnp.concatenate([off, bit_total[:, None]], axis=1).ravel()
+    val_flat = val.ravel()
+
+    def emit(q):
+        r = jnp.minimum(q // out_p, b - 1)
+        o = q % out_p
+        return _emit_bytes(off_ext_flat, val_flat, r * (p + 1), r * p,
+                           p, o * 8).astype(jnp.uint8)
+
+    byte = map_query_chunks(emit, b * out_p)
+    return byte.reshape(b, out_p)
 
 
 def pack_compact(off: jnp.ndarray, val: jnp.ndarray, bit_total: jnp.ndarray,
@@ -114,17 +118,20 @@ def pack_compact(off: jnp.ndarray, val: jnp.ndarray, bit_total: jnp.ndarray,
     its row, then its covering symbols. out_sz >= out_len.sum() (bucketed).
     """
     b, p = off.shape
-    off_ext = jnp.concatenate([off, bit_total[:, None]], axis=1)
+    off_ext_flat = jnp.concatenate([off, bit_total[:, None]], axis=1).ravel()
+    val_flat = val.ravel()
     row_bytes = out_len.astype(jnp.int32)
     bounds = jnp.cumsum(row_bytes)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (1, out_sz), 1)[0]
-    r = searchsorted_last_le(bounds, jnp.int32(0), b, pos) + 1
-    r = jnp.minimum(r, b - 1)
-    o = pos - (bounds[r] - row_bytes[r])
-    byte = _emit_bytes(off_ext.ravel(), val.ravel(),
-                       r * (p + 1), r * p, p, o * 8)
-    valid = pos < bounds[b - 1]
-    return jnp.where(valid, byte, 0).astype(jnp.uint8)
+
+    def emit(pos):
+        r = searchsorted_last_le(bounds, jnp.int32(0), b, pos) + 1
+        r = jnp.minimum(r, b - 1)
+        o = pos - (bounds[r] - row_bytes[r])
+        byte = _emit_bytes(off_ext_flat, val_flat, r * (p + 1), r * p,
+                           p, o * 8)
+        return jnp.where(pos < bounds[b - 1], byte, 0).astype(jnp.uint8)
+
+    return map_query_chunks(emit, out_sz)
 
 
 _stage1_jit = jax.jit(pack_stage1)
