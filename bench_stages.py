@@ -116,9 +116,10 @@ def main():
     print(f"  packed: {packed_bytes / 1e6:.1f} MB")
 
     out_sz = _dl_bucket(packed_bytes)
-    timeit("pack_compact(fused)",
-           lambda: kpack._compact_jit(off, val, bit_total, plen,
-                                      out_sz=out_sz), packed_bytes)
+    if hasattr(kpack, "_compact_jit"):
+        timeit("pack_compact(fused)",
+               lambda: kpack._compact_jit(off, val, bit_total, plen,
+                                          out_sz=out_sz), packed_bytes)
     compact = _compact_step()
     timeit("compact(packed)",
            lambda: compact(packed, plen_np, out_sz=out_sz), packed_bytes)
