@@ -35,7 +35,7 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 BASELINE_MBPS = 83.1
 SIZE = int(os.environ.get("SHAFA_BENCH_SIZE", 100 * 1000 * 1000))
@@ -99,7 +99,7 @@ def device_encode_seconds(data: bytes) -> float:
 
     from shafa_tpu import codes as codes_mod
     from shafa_tpu import geometry
-    from shafa_tpu.device import _bucket, _dl_bucket, _compact_step, \
+    from shafa_tpu.device import _bucket, _dl_bucket, \
         _row_bucket, _stack_blocks, MAX_BATCH_ELEMS
     from shafa_tpu.kernels import histogram as khist
     from shafa_tpu.kernels import pack as kpack
@@ -120,7 +120,6 @@ def device_encode_seconds(data: bytes) -> float:
         stacked, lens = _stack_blocks(rows, _row_bucket(len(rows), bsz))
         batches.append((jax.block_until_ready(jnp.asarray(stacked)),
                         jnp.asarray(lens), len(rows)))
-    compact = _compact_step()
 
     def run_once():
         outs = []
@@ -132,14 +131,12 @@ def device_encode_seconds(data: bytes) -> float:
             rows = x.shape[0]
             cl = np.zeros((rows, 256), np.int32)
             cv = np.zeros((rows, 256), np.uint32)
-            cl[:n] = np.minimum(tables.lens, 32).astype(np.int32)
+            assert int(tables.lens.max()) <= 32, \
+                "code length > 32 bits: bench corpus must stay on fast path"
+            cl[:n] = tables.lens.astype(np.int32)
             cv[:n] = (tables.vals >> np.uint64(32)).astype(np.uint32)
-            packed, plen = kpack.pack_batch(enc, enc_len,
-                                            jnp.asarray(cl), jnp.asarray(cv))
-            plen_np = np.asarray(plen).copy()
-            plen_np[n:] = 0
-            flat = compact(packed, plen_np,
-                           out_sz=_dl_bucket(int(plen_np.sum())))
+            flat, _plen = kpack.pack_batch_compact(
+                enc, enc_len, jnp.asarray(cl), jnp.asarray(cv), _dl_bucket)
             outs.append(flat)
         jax.block_until_ready(outs)
         return outs

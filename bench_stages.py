@@ -49,6 +49,7 @@ def timeit(name: str, fn, nbytes: int, reps: int = REPS):
     import jax
 
     def force(out):
+        jax.block_until_ready(out)
         # tiny readback per rep: guards against block_until_ready returning
         # early on the remote (relay) platform
         leaf = jax.tree_util.tree_leaves(out)[0]
@@ -100,7 +101,9 @@ def main():
     tables = codes_mod.build_code_tables(hist)
     print(f"{'codes (host, C++)':28s} {(time.perf_counter() - t0) * 1e3:9.2f} ms")
 
-    cl = jnp.asarray(np.minimum(tables.lens, 32).astype(np.int32))
+    assert int(tables.lens.max()) <= 32, \
+        "code length > 32 bits: bench corpus must stay on the fast path"
+    cl = jnp.asarray(tables.lens.astype(np.int32))
     cv = jnp.asarray((tables.vals >> np.uint64(32)).astype(np.uint32))
 
     timeit("pack_stage1",
@@ -116,10 +119,9 @@ def main():
     print(f"  packed: {packed_bytes / 1e6:.1f} MB")
 
     out_sz = _dl_bucket(packed_bytes)
-    if hasattr(kpack, "_compact_jit"):
-        timeit("pack_compact(fused)",
-               lambda: kpack._compact_jit(off, val, bit_total, plen,
-                                          out_sz=out_sz), packed_bytes)
+    timeit("pack_compact(fused)",
+           lambda: kpack._compact_jit(off, val, bit_total, plen,
+                                      out_sz=out_sz), packed_bytes)
     compact = _compact_step()
     timeit("compact(packed)",
            lambda: compact(packed, plen_np, out_sz=out_sz), packed_bytes)

@@ -144,7 +144,14 @@ def decode_tables_batch(lens: np.ndarray, vals: np.ndarray) -> dict:
 # ---------------------------------------------------------------------------
 
 def _windows32(payload: jnp.ndarray) -> jnp.ndarray:
-    """(B, P) uint8 -> (B, 8P) uint32: 32-bit window at every bit position."""
+    """(B, P) uint8 -> (B, 8P) uint32 windows in PLANE-MAJOR slot order.
+
+    Slot i = s*P + j holds the 32-bit window starting at bit 8j + s. The
+    natural bit-position order would be a (B, P, 8)-stack-then-reshape, but
+    a minor-most dim of 8 pads to 128 lanes under TPU tiling — a 16x HBM
+    blowup (34 GB for a 64 MiB batch, observed OOM). Plane-major keeps P
+    minor-most; all consumers translate slot <-> bit arithmetically.
+    """
     b, p = payload.shape
     by = payload.astype(jnp.uint32)
 
@@ -159,8 +166,8 @@ def _windows32(payload: jnp.ndarray) -> jnp.ndarray:
             outs.append(w32)
         else:
             outs.append((w32 << s) | (b4 >> (8 - s)))
-    # (B, P, 8) -> (B, 8P) bit-position order
-    return jnp.stack(outs, axis=2).reshape(b, 8 * p)
+    # (B, 8, P): plane s = windows at bit offset s within each byte
+    return jnp.stack(outs, axis=1).reshape(b, 8 * p)
 
 
 def _rank_fields(w: jnp.ndarray, t: dict):
@@ -222,27 +229,36 @@ def decode_stage1(payload: jnp.ndarray, tables: dict):
 def decode_stage2(ln: jnp.ndarray, sym: jnp.ndarray,
                   payload_lens: jnp.ndarray, out_counts: jnp.ndarray,
                   out_p: int):
-    """Symbol chain (pointer doubling) + emission by known output count."""
-    b, nbits = ln.shape
-    n_valid_bits = payload_lens * 8
-    pos = jax.lax.broadcasted_iota(jnp.int32, (b, nbits), 1)
-    nxt = jnp.minimum(pos + ln, nbits)
-    base = (jnp.arange(b, dtype=jnp.int32) * (nbits + 1))[:, None]
-    jump_flat = jnp.concatenate([base + nxt, base + nbits], axis=1).ravel()
+    """Symbol chain (pointer doubling) + emission by known output count.
 
-    posn = base  # (B,1) local 0
+    ln/sym are in _windows32's plane-major slot order (slot s*P + j <-> bit
+    8j + s); the chain jumps in bit space but stores/gathers in slot space —
+    the translation is integer arithmetic on a power-of-two P.
+    """
+    b, nslots = ln.shape  # nslots == total bit count
+    p = nslots // 8
+    n_valid_bits = payload_lens * 8
+    slot = jax.lax.broadcasted_iota(jnp.int32, (b, nslots), 1)
+    bit = 8 * (slot % p) + slot // p
+    nbit = bit + ln  # next symbol's bit position
+    nslot = jnp.where(nbit < nslots, (nbit % 8) * p + nbit // 8, nslots)
+    base = (jnp.arange(b, dtype=jnp.int32) * (nslots + 1))[:, None]
+    jump_flat = jnp.concatenate([base + nslot, base + nslots], axis=1).ravel()
+
+    posn = base  # (B,1) local slot 0 == bit 0
     stride = jump_flat
     m = 1
     while m < out_p:
         posn = jnp.concatenate([posn, stride[posn]], axis=1)
         stride = stride[stride]
         m *= 2
-    posn = posn[:, :out_p] - base  # local bit positions, nbits == absorbed
+    posn = posn[:, :out_p] - base  # local slots, nslots == absorbed
 
     k = jax.lax.broadcasted_iota(jnp.int32, (b, out_p), 1)
-    ok = (k < out_counts[:, None]) & (posn < n_valid_bits[:, None])
-    flat_sym = ((jnp.arange(b, dtype=jnp.int32) * nbits)[:, None]
-                + jnp.minimum(posn, nbits - 1)).ravel()
+    pos_bit = jnp.where(posn < nslots, 8 * (posn % p) + posn // p, nslots)
+    ok = (k < out_counts[:, None]) & (pos_bit < n_valid_bits[:, None])
+    flat_sym = ((jnp.arange(b, dtype=jnp.int32) * nslots)[:, None]
+                + jnp.minimum(posn, nslots - 1)).ravel()
     out = jnp.where(ok, sym.ravel()[flat_sym].reshape(b, out_p), 0)
     # error flag: requested more symbols than the stream contains
     underrun = jnp.any((k < out_counts[:, None]) & ~ok, axis=1)

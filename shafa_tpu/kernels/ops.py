@@ -43,29 +43,81 @@ def lut_nibble_u32(x: jnp.ndarray, table_u32: np.ndarray) -> jnp.ndarray:
     return (hi.astype(jnp.uint32) << 16) | lo.astype(jnp.uint32)
 
 
+#: Query-chunk width for output-centric emission. Each chunk's ~30
+#: gather/elementwise intermediates are materialized by XLA (gathers don't
+#: fuse as producers on TPU); chunking through lax.map reuses one chunk's
+#: buffers across iterations instead of allocating all of them at once
+#: (observed 108 GB HBM peak for an unrolled 536M-query emission).
+EMIT_CHUNK = 1 << 22
+
+
+def map_query_chunks(emit, n: int, chunk: int = EMIT_CHUNK) -> jnp.ndarray:
+    """concat(emit(q) for q in chunks of [0, n)) with buffer reuse.
+
+    emit takes a (chunk,) int32 array of global query indices (values >= n
+    possible in the last chunk — emit must mask) and returns a (chunk,)
+    array. Single-chunk calls skip the scan wrapper entirely.
+    """
+    if n <= chunk:
+        q = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0]
+        return emit(q)
+    n_chunks = -(-n // chunk)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)[0]
+    out = jax.lax.map(lambda c: emit(c * chunk + iota),
+                      jnp.arange(n_chunks, dtype=jnp.int32))
+    return out.reshape(n_chunks * chunk)[:n]
+
+
+def searchsorted_last_le(keys_flat: jnp.ndarray, base: jnp.ndarray,
+                         n: int, q: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized per-segment binary search: last k with keys[base+k] <= q.
+
+    keys_flat holds concatenated sorted segments of length n; base is each
+    query's segment offset. Returns -1 when keys[base] > q. This is the
+    building block for all variable-rate EMISSION on TPU: XLA's scatter
+    (even sorted) lowers to a serialized per-update loop (~10-60 Melem/s
+    measured on v5e), while gathers run near HBM speed — so every "place
+    values at computed offsets" kernel here is inverted into "for every
+    output slot, binary-search which value covers it".
+    """
+    ub = jnp.zeros(q.shape, jnp.int32)  # count of entries <= q
+    step = 1 << max(0, (n - 1).bit_length() - 1)
+    while step:
+        idx = ub + (step - 1)
+        probe = keys_flat[base + jnp.minimum(idx, n - 1)]
+        ub = ub + jnp.where((idx < n) & (probe <= q), step, 0)
+        step >>= 1
+    return ub - 1
+
+
 def compact_rows(rows: jnp.ndarray, lens: jnp.ndarray, out_sz: int):
     """Concatenate the valid prefixes of each row into one flat vector.
 
     rows (B, Q) uint8, lens (B,) -> (out_sz,) uint8 with
     out[cumsum(lens)[i-1] : cumsum(lens)[i]] = rows[i, :lens[i]].
 
-    This is the device-side gather that replaces downloading whole padded
-    buffers: callers transfer exactly `out_sz >= lens.sum()` bytes instead of
-    B*Q. Invalid lanes clamp to their row's end boundary (the next row's
-    start) and add 0 there, keeping indices GLOBALLY nondecreasing — the
-    sorted-scatter fast path; an unsorted scatter serializes on TPU
-    (measured ~150 Melem/s vs ~ms for the sorted form).
+    This is the device-side compaction that replaces downloading whole
+    padded buffers: callers transfer exactly `out_sz >= lens.sum()` bytes
+    instead of B*Q. Formulated output-centric (each output byte binary-
+    searches its source row, then one flat gather) because TPU scatter is
+    serialized while gathers are bandwidth-bound.
     """
     b, q = rows.shape
     lens = lens.astype(jnp.int32)
-    row_start = jnp.cumsum(lens) - lens
-    pos = jax.lax.broadcasted_iota(jnp.int32, (b, q), 1)
-    valid = pos < lens[:, None]
-    idx = (row_start[:, None] + jnp.minimum(pos, lens[:, None])).ravel()
-    out = jnp.zeros(out_sz, jnp.int32)
-    out = out.at[idx].add(jnp.where(valid, rows, 0).astype(jnp.int32).ravel(),
-                          indices_are_sorted=True, mode="drop")
-    return out.astype(jnp.uint8)
+    bounds = jnp.cumsum(lens)  # (B,) row end offsets
+    rows_flat = rows.ravel()
+
+    def emit(pos):
+        # row r covers [bounds[r-1], bounds[r]): first r with bounds[r] > pos
+        r = searchsorted_last_le(bounds, jnp.int32(0), b, pos) + 1
+        r = jnp.minimum(r, b - 1)
+        start = bounds[r] - lens[r]
+        valid = pos < bounds[b - 1]
+        src = r * q + (pos - start)
+        out = rows_flat[jnp.where(valid, src, 0)]
+        return jnp.where(valid, out, 0).astype(jnp.uint8)
+
+    return map_query_chunks(emit, out_sz)
 
 
 def segment_fill(markers: jnp.ndarray, axis: int = -1) -> jnp.ndarray:

@@ -1,15 +1,19 @@
 """Bit-pack encode — module C's binary_coding (c.c:52-83), TPU formulation.
 
 The reference's trick is a pre-shifted 8-offset table so its inner loop is
-branchless ORs (c.c:104,186-219). The vector equivalent:
+branchless ORs (c.c:104,186-219). The vector equivalent here is fully
+OUTPUT-CENTRIC, because XLA's TPU scatter — even with sorted indices — lowers
+to a serialized per-update loop (measured ~10-60 Melem/s on v5e, 2-3 orders
+below HBM speed), while gathers are bandwidth-bound:
 
   1. per-symbol (len, leftaligned32) LUT lookup via nibble matmuls
-  2. bit offsets = exclusive cumsum of lengths (MSB-first stream order)
-  3. each symbol's shifted code spans <= 5 bytes: byte k of
-     (code64 << (8 - sh)) placed at byte_pos + k, sh = bit offset & 7
-  4. since symbols' bit ranges are disjoint, OR == ADD: five sorted
-     scatter-adds build the packed stream (no carries: each output byte
-     receives only its own bits).
+  2. bit offsets = exclusive cumsum of lengths (MSB-first stream order);
+     symbol k owns the bit interval [off[k], off[k+1])  — the intervals
+     PARTITION the stream, so "which symbols touch output byte o" is a
+     contiguous run of at most 9 (8 one-bit starts + 1 spanning code)
+  3. every output byte binary-searches the last symbol starting at-or-before
+     its first bit (searchsorted_last_le), then ORs the aligned slices of
+     the <=9 candidate codes — pure gathers + VPU shifts.
 
 Codes longer than 32 bits (pathological skew; needs a block > 2^32 bytes to
 even approach optimality) fall back to the numpy oracle at the backend level.
@@ -21,10 +25,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ops import exclusive_cumsum, lut_nibble, lut_nibble_u32
+from .ops import exclusive_cumsum, lut_nibble, lut_nibble_u32, \
+    map_query_chunks, searchsorted_last_le
 
 MAX_CODE_BITS = 32
-SPAN = 5  # ceil((32 + 7) / 8)
+#: max symbols whose bit interval can intersect one output byte
+CANDIDATES = 9
 
 
 def pack_out_bound(p: int) -> int:
@@ -35,11 +41,11 @@ def pack_out_bound(p: int) -> int:
 
 def pack_stage1(x: jnp.ndarray, lengths: jnp.ndarray,
                 code_lens: jnp.ndarray, code_vals: jnp.ndarray):
-    """LUT lookup + bit-offset scan: (off, val, valid).
+    """LUT lookup + bit-offset scan: (off, val, bit_total, out_len_bytes).
 
-    Kept as a SEPARATE compile unit from pack_stage2: fusing the MXU LUT
-    matmuls + cumsum with the emission scatters into one XLA program blows
-    compile time from ~6 s to >400 s on v5e (same runtime either way).
+    Kept as a SEPARATE compile unit from the emission stage: fusing the MXU
+    LUT matmuls + cumsum with the emission gathers into one XLA program
+    blows compile time from ~6 s to >400 s on v5e (same runtime either way).
     """
     b, p = x.shape
     pos = jax.lax.broadcasted_iota(jnp.int32, (b, p), 1)
@@ -49,39 +55,88 @@ def pack_stage1(x: jnp.ndarray, lengths: jnp.ndarray,
     val = jax.vmap(lut_nibble_u32_rows)(x, code_vals)
     ln = jnp.where(valid, ln, 0)
     off = exclusive_cumsum(ln, axis=1)  # bit offsets
-    out_len = (off[:, -1] + ln[:, -1] + 7) >> 3
-    return off, val, valid, out_len
+    bit_total = off[:, -1] + ln[:, -1]
+    out_len = (bit_total + 7) >> 3
+    return off, val, bit_total, out_len
 
 
-def pack_stage2(off: jnp.ndarray, val: jnp.ndarray, valid: jnp.ndarray):
-    """Emission: 5 sorted scatter-adds of the shifted code bytes."""
+def _emit_bytes(off_ext_flat: jnp.ndarray, val_flat: jnp.ndarray,
+                base_ext: jnp.ndarray, base_val: jnp.ndarray,
+                p: int, q: jnp.ndarray) -> jnp.ndarray:
+    """OR together the candidate code slices covering bit window [q, q+8).
+
+    off_ext_flat: per-row (P+1) monotone bit offsets (last = row bit total),
+    flattened; base_ext/base_val: each query's row base; q: first bit of the
+    output byte. Candidate k contributes iff its interval [off[k], off[k+1])
+    intersects the window and is nonempty (padding lanes are zero-length).
+    """
+    k0 = searchsorted_last_le(off_ext_flat, base_ext, p, q)
+    byte = jnp.zeros(q.shape, jnp.uint32)
+    for t in range(CANDIDATES):
+        k = k0 + t
+        kc = jnp.minimum(k, p - 1)
+        o_k = off_ext_flat[base_ext + kc]
+        e_k = off_ext_flat[base_ext + kc + 1]
+        v_k = val_flat[base_val + kc]
+        ok = (k == kc) & (o_k <= q + 7) & (e_k > q) & (e_k > o_k)
+        d = q - o_k  # byte's first bit, relative to code start: [-7, 31]
+        sh_r = jnp.clip(24 - d, 0, 31).astype(jnp.uint32)
+        sh_l = jnp.clip(d - 24, 0, 31).astype(jnp.uint32)
+        c = jnp.where(d <= 24, v_k >> sh_r, v_k << sh_l) & jnp.uint32(0xFF)
+        byte = byte | jnp.where(ok, c, jnp.uint32(0))
+    return byte
+
+
+def pack_stage2(off: jnp.ndarray, val: jnp.ndarray, bit_total: jnp.ndarray):
+    """Emission into per-row padded buffers: (B, 4P+16) uint8.
+
+    Bits past each row's bit_total come out zero (the candidate conditions
+    fail), reproducing the reference's zero-padded final byte (c.c:58,80).
+    """
     b, p = off.shape
     out_p = pack_out_bound(p)
-    byte_pos = off >> 3
-    sh = (off & 7).astype(jnp.uint32)
-    # 40-bit window W = val << (8 - sh), bytes big-endian b0..b4
-    v = val
-    up = jnp.uint32(8) - sh
-    bytes_ = [
-        (v >> (jnp.uint32(24) + sh)) & jnp.uint32(0xFF),
-        (v >> (jnp.uint32(16) + sh)) & jnp.uint32(0xFF),
-        (v >> (jnp.uint32(8) + sh)) & jnp.uint32(0xFF),
-        (v >> sh) & jnp.uint32(0xFF),
-        jnp.where(up == 8, jnp.uint32(0), (v << (up % 8)) & jnp.uint32(0xFF)),
-    ]
-    flat_base = ((jnp.arange(b, dtype=jnp.int32) * out_p)[:, None]
-                 + byte_pos).ravel()
-    out = jnp.zeros(b * out_p, jnp.int32)
-    vmask = valid.ravel()
-    for k, bk in enumerate(bytes_):
-        vk = jnp.where(vmask, bk.ravel().astype(jnp.int32), 0)
-        out = out.at[flat_base + k].add(vk, indices_are_sorted=True,
-                                        mode="drop")
-    return out.reshape(b, out_p).astype(jnp.uint8)
+    off_ext_flat = jnp.concatenate([off, bit_total[:, None]], axis=1).ravel()
+    val_flat = val.ravel()
+
+    def emit(q):
+        r = jnp.minimum(q // out_p, b - 1)
+        o = q % out_p
+        return _emit_bytes(off_ext_flat, val_flat, r * (p + 1), r * p,
+                           p, o * 8).astype(jnp.uint8)
+
+    byte = map_query_chunks(emit, b * out_p)
+    return byte.reshape(b, out_p)
+
+
+def pack_compact(off: jnp.ndarray, val: jnp.ndarray, bit_total: jnp.ndarray,
+                 out_len: jnp.ndarray, out_sz: int):
+    """Fused emission + row compaction: all rows' packed bytes concatenated.
+
+    (out_sz,) uint8 with rows in order and no inter-row padding — the exact
+    bytes the host writes into `.shaf`. Skips materializing the (B, 4P+16)
+    padded buffer entirely: each of the out_sz output bytes binary-searches
+    its row, then its covering symbols. out_sz >= out_len.sum() (bucketed).
+    """
+    b, p = off.shape
+    off_ext_flat = jnp.concatenate([off, bit_total[:, None]], axis=1).ravel()
+    val_flat = val.ravel()
+    row_bytes = out_len.astype(jnp.int32)
+    bounds = jnp.cumsum(row_bytes)
+
+    def emit(pos):
+        r = searchsorted_last_le(bounds, jnp.int32(0), b, pos) + 1
+        r = jnp.minimum(r, b - 1)
+        o = pos - (bounds[r] - row_bytes[r])
+        byte = _emit_bytes(off_ext_flat, val_flat, r * (p + 1), r * p,
+                           p, o * 8)
+        return jnp.where(pos < bounds[b - 1], byte, 0).astype(jnp.uint8)
+
+    return map_query_chunks(emit, out_sz)
 
 
 _stage1_jit = jax.jit(pack_stage1)
 _stage2_jit = jax.jit(pack_stage2)
+_compact_jit = jax.jit(pack_compact, static_argnames=("out_sz",))
 
 
 def pack_batch(x: jnp.ndarray, lengths: jnp.ndarray,
@@ -94,15 +149,31 @@ def pack_batch(x: jnp.ndarray, lengths: jnp.ndarray,
     Dispatches the two stages as separate jit calls (device-resident
     between them) — see pack_stage1 for why they must not fuse.
     """
-    off, val, valid, out_len = _stage1_jit(x, lengths, code_lens, code_vals)
-    return _stage2_jit(off, val, valid), out_len
+    off, val, bit_total, out_len = _stage1_jit(x, lengths, code_lens,
+                                               code_vals)
+    return _stage2_jit(off, val, bit_total), out_len
+
+
+def pack_batch_compact(x, lengths, code_lens, code_vals, out_sz_fn):
+    """Pack + compact without the padded intermediate: (flat u8, out_len).
+
+    out_sz_fn(total_bytes:int) -> static bucketed flat size. The (B,) packed
+    lengths round-trip through host once (tiny) to fix the static out size.
+    """
+    off, val, bit_total, out_len = _stage1_jit(x, lengths, code_lens,
+                                               code_vals)
+    out_len_np = np.asarray(out_len)
+    flat = _compact_jit(off, val, bit_total, out_len,
+                        out_sz=out_sz_fn(int(out_len_np.sum())))
+    return flat, out_len_np
 
 
 def pack_batch_fused(x, lengths, code_lens, code_vals):
     """Single-graph composite (for shard_map on CPU meshes / interpreters
     where the split isn't needed and a single jittable callee is)."""
-    off, val, valid, out_len = pack_stage1(x, lengths, code_lens, code_vals)
-    return pack_stage2(off, val, valid), out_len
+    off, val, bit_total, out_len = pack_stage1(x, lengths, code_lens,
+                                               code_vals)
+    return pack_stage2(off, val, bit_total), out_len
 
 
 def lut_nibble_u32_rows(x_row: jnp.ndarray, tab_row: jnp.ndarray):

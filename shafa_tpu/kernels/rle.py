@@ -8,10 +8,12 @@ Encode formulation (no byte-serial loop):
      (sub start, sub length, escape decision) is computable POINTWISE because
      all bytes of a sub-segment share the same symbol and length
   4. per-position output contribution (escape start: 3, literal: 1, else 0)
-     -> exclusive cumsum = output offsets
-  5. three sorted scatter-adds emit `00 sym count` triples and literals;
-     masked lanes write a ZERO VALUE at their (in-range, monotone) offset so
-     the sorted-scatter fast path stays valid.
+     -> inclusive cumsum = output extents
+  5. OUTPUT-CENTRIC emission: every output byte binary-searches its emitting
+     input lane (first lane whose cumulative extent exceeds it) and picks
+     0x00 / symbol / count / literal from the lane's fields by its relative
+     offset. TPU scatter is serialized; gathers are bandwidth-bound (see
+     ops.searchsorted_last_le), so emission inverts into gathers.
 
 Escape rule parity with the reference: a sub-segment is escaped iff its
 length >= 4 or its symbol is 0x00; literals of short runs are emitted one
@@ -21,8 +23,8 @@ block end (mask), and never cross the 255 cap.
 Expand formulation: token starts form a chain i -> i + (3 if x[i]==0 else 1)
 (a 0x00 may be escape payload, so token boundaries are history-dependent);
 the chain is resolved by pointer doubling over a flattened per-row jump
-table, then output is built by marker scatter + cumsum segment-fill +
-take_along_axis.
+table; output bytes then binary-search their emitting token over the
+inclusive cumsum of token repeat counts.
 """
 
 from __future__ import annotations
@@ -32,7 +34,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .ops import exclusive_cumsum
+from .ops import map_query_chunks, searchsorted_last_le
 
 MAX_RUN = 255
 MIN_ESCAPE_RUN = 4
@@ -73,23 +75,32 @@ def rle_encode_batch(x: jnp.ndarray, lengths: jnp.ndarray):
     escaped = (sub_len >= MIN_ESCAPE_RUN) | (xi == 0)  # pointwise-correct
     contrib = jnp.where(valid,
                         jnp.where(escaped, jnp.where(sub_start, 3, 0), 1), 0)
-    off = exclusive_cumsum(contrib, axis=1)
-    out_len = off[:, -1] + contrib[:, -1]
+    cum = jnp.cumsum(contrib, axis=1)  # inclusive: lane i's output extent end
+    out_len = cum[:, -1]
 
-    # Emission: masked lanes add 0 at a monotone in-range index so
-    # indices_are_sorted holds for the scatter fast path.
-    flat_idx = ((jnp.arange(b, dtype=jnp.int32) * out_p)[:, None] + off).ravel()
-    emit_first = valid & (~escaped | sub_start)  # literal byte or escape 0x00
-    emit_esc = valid & escaped & sub_start
-    val0 = jnp.where(emit_first, jnp.where(escaped, 0, xi), 0).ravel()
-    val1 = jnp.where(emit_esc, xi, 0).ravel()
-    val2 = jnp.where(emit_esc, sub_len, 0).ravel()
+    # Output-centric emission: output byte j of row r is produced by the
+    # first lane e with cum[e] > j (lanes with contrib 0 are never picked:
+    # cum[e] > j needs contrib[e] > 0 at the boundary). rel = j - off[e]
+    # selects 0x00 / symbol / count within an escape triple.
+    cum_flat = cum.ravel()
+    contrib_flat = contrib.ravel()
+    xi_flat = xi.ravel()
+    sublen_flat = sub_len.ravel()
 
-    out = jnp.zeros(b * out_p, jnp.int32)
-    out = out.at[flat_idx].add(val0, indices_are_sorted=True, mode="drop")
-    out = out.at[flat_idx + 1].add(val1, indices_are_sorted=True, mode="drop")
-    out = out.at[flat_idx + 2].add(val2, indices_are_sorted=True, mode="drop")
-    return out.reshape(b, out_p).astype(jnp.uint8), out_len
+    def emit(q):
+        r = jnp.minimum(q // out_p, b - 1)
+        j = q % out_p
+        e = searchsorted_last_le(cum_flat, r * p, p, j) + 1
+        e = r * p + jnp.minimum(e, p - 1)
+        c_e = contrib_flat[e]
+        rel = j - (cum_flat[e] - c_e)
+        trip = jnp.where(rel == 0, 0,
+                         jnp.where(rel == 1, xi_flat[e], sublen_flat[e]))
+        byte = jnp.where(c_e == 3, trip, xi_flat[e])
+        return jnp.where(j < out_len[r], byte, 0).astype(jnp.uint8)
+
+    out = map_query_chunks(emit, b * out_p)
+    return out.reshape(b, out_p), out_len
 
 
 def _token_starts(xi: jnp.ndarray) -> jnp.ndarray:
@@ -148,26 +159,46 @@ def rle_expand_batch(x: jnp.ndarray, lengths: jnp.ndarray, out_p: int):
 
     out_p must be >= the largest decompressed block in the batch (caller
     computes exact sizes via rle_expand_sizes and pads to a bucket).
+    Output-centric: each output byte binary-searches its emitting token over
+    the inclusive cumsum of token counts, then gathers the token's symbol.
     """
     b, p = x.shape
-    is_start, sym, cnt = _token_fields(x, lengths)
-    off = exclusive_cumsum(cnt, axis=1)
-    out_len = off[:, -1] + cnt[:, -1]
+    _, sym, cnt = _token_fields(x, lengths)
+    cum = jnp.cumsum(cnt, axis=1)
+    out_len = cum[:, -1]
+    cum_flat = cum.ravel()
+    sym_flat = sym.ravel()
 
-    # Compact per-token symbols (masked lanes add 0 at a monotone index).
-    tok_idx = exclusive_cumsum(is_start.astype(jnp.int32), axis=1)
-    flat_tok = ((jnp.arange(b, dtype=jnp.int32) * p)[:, None] + tok_idx).ravel()
-    sym_c = jnp.zeros(b * p, jnp.int32).at[flat_tok].add(
-        jnp.where(is_start, sym, 0).ravel(),
-        indices_are_sorted=True, mode="drop").reshape(b, p)
+    def emit(q):
+        r = jnp.minimum(q // out_p, b - 1)
+        j = q % out_p
+        e = searchsorted_last_le(cum_flat, r * p, p, j) + 1
+        byte = sym_flat[r * p + jnp.minimum(e, p - 1)]
+        return jnp.where(j < out_len[r], byte, 0).astype(jnp.uint8)
 
-    # Token-start markers in output space -> segment fill -> gather symbols.
-    flat_out = ((jnp.arange(b, dtype=jnp.int32) * out_p)[:, None] + off).ravel()
-    markers = jnp.zeros(b * out_p, jnp.int32).at[flat_out].add(
-        jnp.where(is_start, 1, 0).ravel(),
-        indices_are_sorted=True, mode="drop").reshape(b, out_p)
-    token_of = jnp.cumsum(markers, axis=1) - 1
-    out = jnp.take_along_axis(sym_c, jnp.maximum(token_of, 0), axis=1)
-    out_pos = jax.lax.broadcasted_iota(jnp.int32, (b, out_p), 1)
-    out = jnp.where(out_pos < out_len[:, None], out, 0)
-    return out.astype(jnp.uint8), out_len
+    out = map_query_chunks(emit, b * out_p)
+    return out.reshape(b, out_p), out_len
+
+
+@functools.partial(jax.jit, static_argnames=("out_sz",))
+def rle_expand_compact(x: jnp.ndarray, lengths: jnp.ndarray, out_sz: int):
+    """Fused expand + row compaction: all rows' decompressed bytes
+    concatenated in order into one (out_sz,) uint8 buffer (the exact bytes
+    the host writes), skipping the (B, out_p) padded intermediate."""
+    b, p = x.shape
+    _, sym, cnt = _token_fields(x, lengths)
+    cum = jnp.cumsum(cnt, axis=1)
+    row_len = cum[:, -1]
+    bounds = jnp.cumsum(row_len)
+    cum_flat = cum.ravel()
+    sym_flat = sym.ravel()
+
+    def emit(pos):
+        r = searchsorted_last_le(bounds, jnp.int32(0), b, pos) + 1
+        r = jnp.minimum(r, b - 1)
+        j = pos - (bounds[r] - row_len[r])
+        e = searchsorted_last_le(cum_flat, r * p, p, j) + 1
+        byte = sym_flat[r * p + jnp.minimum(e, p - 1)]
+        return jnp.where(pos < bounds[b - 1], byte, 0).astype(jnp.uint8)
+
+    return map_query_chunks(emit, out_sz)
