@@ -37,8 +37,11 @@ from .kernels import pack as kpack
 from .kernels import rle as krle
 
 #: Max elements per (B, P) device batch — bounds peak HBM across the ~20x
-#: int32 intermediates of the scan/scatter kernels.
-MAX_BATCH_ELEMS = 1 << 26
+#: int32 intermediates of the scan/gather kernels. 1<<26 reproducibly
+#: faults the v5e device inside the output-centric emission (UNAVAILABLE
+#: "TPU device error" at (8, 8 MiB); (4, 8 MiB) and (2, 8 MiB) are fine),
+#: so the cap stays one notch below until the emission moves to Pallas.
+MAX_BATCH_ELEMS = 1 << 25
 
 #: Compacted downloads are padded to a multiple of this (few static shapes
 #: for the compact kernel, <=4 MiB slack per transfer).

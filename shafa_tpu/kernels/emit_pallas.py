@@ -1,0 +1,354 @@
+"""Pallas TPU kernel: variable-rate bit emission (the codec's hot loop).
+
+This is the TPU-native replacement for the reference's OR-packing inner
+loops (binary_coding c.c:52-83 and the RLE byte emission f.c:34-53). Both
+XLA formulations tried before it — scatter-add emission and output-centric
+binary-search gathers — lower to serialized element loops on v5e (measured
+10-60 Melem/s scatter; 0.8 MB/s for the gather emission at (4, 8 MiB)),
+so the emission lives in a hand-written Mosaic kernel instead.
+
+Model: every input lane carries a left-aligned payload of `bitlen` <= 32
+bits (a Shannon-Fano code, an RLE escape triple, a literal byte, ...). The
+output is the MSB-first concatenation of all payloads of all valid lanes,
+each row's stream starting at a host-chosen 512-byte-aligned offset of one
+flat u32 buffer — i.e. compaction happens inside the kernel: rows can be
+laid out back-to-back (fused download) or strided (the (B, P) padded
+layout), purely by the host's choice of row offsets.
+
+Key structural fact exploited: bitlen <= 32 means each lane advances the
+output *word* index by 0 or 1, so a tile of T lanes spans at most T+2
+words, and per-word accumulation is an exact one-hot matmul on the MXU
+(16-bit halves carried in f32; within one output word all contributions
+occupy disjoint bits, so integer-add == bitwise-OR and every 16-bit
+partial sum stays <= 0xFFFF).
+
+Kernel structure (grid = (rows, tiles), sequential on the core):
+  per tile: optional in-kernel 256-entry LUT via nibble one-hot matmuls
+            -> exclusive log-shift cumsum of bitlens (+ carry from SMEM)
+            -> per-lane word index / in-word shift -> hi/lo u32 splits
+            -> one-hot (W, T) matmul places 16-bit halves into W words
+            -> byte-swap (file byte order), roll into a 2-page VMEM
+               accumulator, OR at a 128-word-aligned slot
+            -> page full? DMA the 8 KiB page to HBM at a dynamic
+               128-word-aligned offset, slide the accumulator window.
+Carry across tiles: bit offset + partial last word, in SMEM scratch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: default lanes per tile (input symbols per grid step)
+TILE = 256
+#: page = DMA flush unit, in u32 words (8 KiB)
+PAGE = 2048
+
+assert PAGE % 128 == 0
+
+
+def _round128(n: int) -> int:
+    return (n + 127) & ~127
+
+
+def _cumsum_lanes(x, inclusive=True):
+    """Log-shift cumsum along the lane axis of a (1, T) int32 array."""
+    n = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    acc = x
+    s = 1
+    while s < n:
+        acc = acc + jnp.where(lane >= s, pltpu.roll(acc, s, 1),
+                              jnp.zeros_like(acc))
+        s *= 2
+    return acc if inclusive else acc - x
+
+
+def _lut256(x_i32, tab2d_f32, oh_hi, oh_lo):
+    """tab[x] for byte-valued x: nibble one-hot matmuls, transpose-free.
+
+    tab2d_f32 (16, 16) = tab[hi][lo]; oh_hi/oh_lo (16, T) one-hots of the
+    nibbles (built once per tile, shared by the three tables). Layout
+    avoids any (1,T)->(T,1) relayout: mid[lo, i] = tab[x_i >> 4][lo],
+    out[i] = sum_lo mid[lo, i] * oh_lo[lo, i]. Exact for |v| < 2^24.
+    """
+    mid = jax.lax.dot_general(
+        tab2d_f32, oh_hi, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)  # (16, T): [lo, i]
+    return jnp.sum(mid * oh_lo, axis=0, keepdims=True).astype(jnp.int32)
+
+
+def _byteswap32_u(x_u32):
+    """Per-word byte swap: MSB-first bitstream -> little-endian u32 buffer,
+    so the downloaded buffer viewed as uint8 is the file byte stream."""
+    return ((x_u32 >> 24) | ((x_u32 >> 8) & jnp.uint32(0xFF00))
+            | ((x_u32 << 8) & jnp.uint32(0xFF0000)) | (x_u32 << 24))
+
+
+def _emit_kernel(row_len_ref, woff_ref, *args, lut, t_lanes):
+    """Grid (B, n_tiles). See module docstring.
+
+    args (lut=True):  x, lut_len, lut_hi, lut_lo, out, pagebuf, sem, smem
+    args (lut=False): val, bitlen, out, pagebuf, sem, smem
+    smem: [0]=carry_bits [1]=flushed_pages [2]=carry_word (i32 bits)
+    """
+    if lut:
+        x_ref, len_ref, hi_ref, lo_ref, out_ref, pagebuf, sem, smem = args
+    else:
+        val_ref, bitlen_ref, out_ref, pagebuf, sem, smem = args
+    w_span = t_lanes + 2
+    reg = _round128(w_span + 127)
+    r_idx = pl.program_id(0)
+    t_idx = pl.program_id(1)
+    row_len = row_len_ref[r_idx]
+    woff = pl.multiple_of(woff_ref[r_idx], 128)
+
+    @pl.when(t_idx == 0)
+    def _init():
+        smem[0] = 0
+        smem[1] = 0
+        smem[2] = 0
+        pagebuf[...] = jnp.zeros((1, 2 * PAGE), jnp.int32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, t_lanes), 1)
+    gpos = t_idx * t_lanes + lane
+    valid = gpos < row_len
+
+    # --- per-lane (payload, bitlen) ----------------------------------------
+    if lut:
+        xi = x_ref[...].astype(jnp.int32)
+        k16 = jax.lax.broadcasted_iota(jnp.int32, (16, t_lanes), 0)
+        oh_hi = (jnp.broadcast_to(xi >> 4, (16, t_lanes)) == k16) \
+            .astype(jnp.float32)
+        oh_lo = (jnp.broadcast_to(xi & 15, (16, t_lanes)) == k16) \
+            .astype(jnp.float32)
+        ln = _lut256(xi, len_ref[0].astype(jnp.float32), oh_hi, oh_lo)
+        vhi = _lut256(xi, hi_ref[0].astype(jnp.float32), oh_hi, oh_lo)
+        vlo = _lut256(xi, lo_ref[0].astype(jnp.float32), oh_hi, oh_lo)
+        val = (pltpu.bitcast(vhi, jnp.uint32) << 16) \
+            | pltpu.bitcast(vlo, jnp.uint32)
+    else:
+        val = pltpu.bitcast(val_ref[...], jnp.uint32)
+        ln = bitlen_ref[...]
+    ln = jnp.where(valid, ln, 0)
+    val = jnp.where(ln > 0, val, jnp.uint32(0))
+
+    # --- bit offsets (carry + local exclusive cumsum) -----------------------
+    carry_bits = smem[0]
+    off = carry_bits + _cumsum_lanes(ln, inclusive=False)
+    sum_len = jnp.sum(ln)
+    new_bits = carry_bits + sum_len
+
+    base_w = carry_bits >> 5
+    w = (off >> 5) - base_w          # word advance per lane: in [0, w_span)
+    r5 = pltpu.bitcast(off & 31, jnp.uint32)
+    hi = val >> r5                                    # bits into word w
+    lo = (val << (jnp.uint32(31) - r5)) << 1          # bits into word w + 1
+
+    # --- place into w_span words: one-hot matmul, 16-bit-half exact --------
+    wq = jax.lax.broadcasted_iota(jnp.int32, (w_span, t_lanes), 0)
+    cmp = (jnp.broadcast_to(w, (w_span, t_lanes)) == wq).astype(jnp.float32)
+    def u16f(z):  # u32 (< 2^16) -> f32; Mosaic lacks a direct u32->f32 cast
+        return pltpu.bitcast(z, jnp.int32).astype(jnp.float32)
+
+    halves = jnp.concatenate(
+        [u16f(hi >> 16), u16f(hi & jnp.uint32(0xFFFF)),
+         u16f(lo >> 16), u16f(lo & jnp.uint32(0xFFFF))], axis=0)  # (4, T)
+    placed = jax.lax.dot_general(
+        halves, cmp, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)           # (4, w_span)
+    def f16u(z):  # f32 integer (< 2^16) -> u32, via the supported i32 cast
+        return pltpu.bitcast(z.astype(jnp.int32), jnp.uint32)
+
+    ph = (f16u(placed[0:1]) << 16) | f16u(placed[1:2])
+    plo = (f16u(placed[2:3]) << 16) | f16u(placed[3:4])
+    # lo parts land one word later: shift lanes right by 1, zero lane 0
+    wl = jax.lax.broadcasted_iota(jnp.int32, (1, w_span), 1)
+    plo = jnp.where(wl >= 1, pltpu.roll(plo, 1, 1), jnp.uint32(0))
+    # carry word lives in SMEM as i32 bits; add in i32 (wraps identically)
+    words = pltpu.bitcast(
+        pltpu.bitcast(ph + plo, jnp.int32)
+        + jnp.where(wl == 0, smem[2], 0), jnp.uint32)
+
+    # --- next carry word (masked sums; no dynamic scalar VMEM reads) --------
+    last_wrel = (new_bits >> 5) - base_w
+    hi_i = pltpu.bitcast(hi, jnp.int32)  # i32 adds wrap identically to u32
+    lo_i = pltpu.bitcast(lo, jnp.int32)
+    cw_i = (jnp.sum(jnp.where(w == last_wrel, hi_i, 0))
+            + jnp.sum(jnp.where(w + 1 == last_wrel, lo_i, 0)))
+    cw_i = cw_i + jnp.where(last_wrel == 0, smem[2], 0)
+
+    # --- OR the tile's words into the 2-page accumulator --------------------
+    flushed = smem[1]
+    slot = base_w - flushed * PAGE           # in [0, PAGE)
+    a_base = pl.multiple_of((slot >> 7) << 7, 128)
+    sh = slot & 127
+    wpad = jnp.concatenate(
+        [pltpu.bitcast(_byteswap32_u(words), jnp.int32),
+         jnp.zeros((1, reg - w_span), jnp.int32)], axis=1)
+    rolled = pltpu.roll(wpad, sh, 1)
+    lanes_reg = jax.lax.broadcasted_iota(jnp.int32, (1, reg), 1)
+    rolled = jnp.where((lanes_reg >= sh) & (lanes_reg < sh + w_span),
+                       rolled, 0)
+    pagebuf[0:1, pl.ds(a_base, reg)] = pagebuf[0:1, pl.ds(a_base, reg)] \
+        | rolled
+
+    smem[0] = new_bits
+    smem[2] = cw_i
+
+    # --- flush a completed page ---------------------------------------------
+    new_w = new_bits >> 5
+
+    @pl.when(new_w >= (flushed + 1) * PAGE)
+    def _flush():
+        dst = pl.multiple_of(woff + flushed * PAGE, 128)
+        cp = pltpu.make_async_copy(pagebuf.at[0, pl.ds(0, PAGE)],
+                                   out_ref.at[0, pl.ds(dst, PAGE)], sem)
+        cp.start()
+        cp.wait()
+        pagebuf[0:1, 0:PAGE] = pagebuf[0:1, PAGE:2 * PAGE]
+        pagebuf[0:1, PAGE:2 * PAGE] = jnp.zeros((1, PAGE), jnp.int32)
+        smem[1] = flushed + 1
+
+    # --- row end: flush the remaining window (both pages) -------------------
+    last_tile = jnp.maximum((row_len + t_lanes - 1) // t_lanes - 1, 0)
+
+    @pl.when(t_idx == last_tile)
+    def _final():
+        f = smem[1]
+        dst = pl.multiple_of(woff + f * PAGE, 128)
+        cp = pltpu.make_async_copy(pagebuf.at[0, pl.ds(0, 2 * PAGE)],
+                                   out_ref.at[0, pl.ds(dst, 2 * PAGE)], sem)
+        cp.start()
+        cp.wait()
+
+
+def _emit_call(lut: bool, b: int, p: int, out_words: int, t_lanes: int,
+               interpret: bool):
+    if p % t_lanes:
+        raise ValueError(f"P={p} must be a multiple of t_lanes={t_lanes}")
+    n_tiles = p // t_lanes
+    kern = functools.partial(_emit_kernel, lut=lut, t_lanes=t_lanes)
+    # (B, P) arrays travel flattened to (1, B*P): TPU block shapes require
+    # the sublane block dim to divide 8 or equal the array dim, which a
+    # (1, t_lanes) block over (B, P) violates for B > 1.
+    flat = pl.BlockSpec((1, t_lanes),
+                        lambda r, t, *_: (0, r * n_tiles + t))
+    if lut:
+        in_specs = [
+            flat,
+            pl.BlockSpec((1, 16, 16), lambda r, t, *_: (r, 0, 0)),
+            pl.BlockSpec((1, 16, 16), lambda r, t, *_: (r, 0, 0)),
+            pl.BlockSpec((1, 16, 16), lambda r, t, *_: (r, 0, 0)),
+        ]
+    else:
+        in_specs = [flat, flat]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # row_lens, woff_words
+        grid=(b, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((1, 2 * PAGE), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((3,), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, out_words), jnp.int32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("out_words", "t_lanes", "interpret"))
+def emit_bits(val: jnp.ndarray, bitlen: jnp.ndarray, row_lens: jnp.ndarray,
+              woff_words: jnp.ndarray, out_words: int,
+              t_lanes: int = TILE, interpret: bool = False) -> jnp.ndarray:
+    """Concatenate per-lane payloads into packed rows of one flat buffer.
+
+    val (B, P) uint32 left-aligned payloads; bitlen (B, P) int32 in [0, 32];
+    row_lens (B,) int32 valid lanes per row; woff_words (B,) int32 128-word
+    -multiple output offset per row. Returns (1, out_words) int32 whose u8
+    view (little-endian) is the byte stream; out_words must leave 2*PAGE
+    words of slack after the last row's end (see aligned_offsets).
+    """
+    b, p = val.shape
+    pad = (-p) % t_lanes
+    if pad:
+        val = jnp.pad(val, ((0, 0), (0, pad)))
+        bitlen = jnp.pad(bitlen, ((0, 0), (0, pad)))
+        p += pad
+    call = _emit_call(False, b, p, out_words, t_lanes, interpret)
+    return call(row_lens.astype(jnp.int32), woff_words.astype(jnp.int32),
+                jax.lax.bitcast_convert_type(val, jnp.int32)
+                .reshape(1, b * p), bitlen.reshape(1, b * p))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("out_words", "t_lanes", "interpret"))
+def emit_coded(x: jnp.ndarray, row_lens: jnp.ndarray,
+               lut_len: jnp.ndarray, lut_hi: jnp.ndarray,
+               lut_lo: jnp.ndarray, woff_words: jnp.ndarray,
+               out_words: int, t_lanes: int = TILE,
+               interpret: bool = False) -> jnp.ndarray:
+    """Module C's whole hot path in one kernel: per-symbol LUT + bit-pack.
+
+    x (B, P) uint8 symbols; lut_len (B, 256) int32 code bit lengths;
+    lut_hi/lut_lo (B, 256) int32 high/low 16-bit halves of the left-aligned
+    code values. Other args/returns as emit_bits. (Replaces the reference's
+    pre-shifted 8-offset table + OR loop, c.c:91-237 + 52-83.)
+    """
+    b, p = x.shape
+    pad = (-p) % t_lanes
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+        p += pad
+    call = _emit_call(True, b, p, out_words, t_lanes, interpret)
+    return call(row_lens.astype(jnp.int32), woff_words.astype(jnp.int32),
+                x.reshape(1, b * p),
+                lut_len.reshape(b, 16, 16).astype(jnp.int32),
+                lut_hi.reshape(b, 16, 16).astype(jnp.int32),
+                lut_lo.reshape(b, 16, 16).astype(jnp.int32))
+
+
+def aligned_offsets(byte_lens, align: int = 512):
+    """Host helper: 512 B-aligned row start offsets for back-to-back layout.
+
+    Returns (woff_words (B,) int32, total_words int incl. 2*PAGE slack).
+    Host slices row i's bytes at [4*woff[i], 4*woff[i] + byte_lens[i]).
+    """
+    starts = np.zeros(len(byte_lens), np.int64)
+    pos = 0
+    for i, n in enumerate(byte_lens):
+        starts[i] = pos
+        pos += (int(n) + align - 1) // align * align
+    return (starts // 4).astype(np.int32), pos // 4 + 2 * PAGE
+
+
+def emit_reference(val: np.ndarray, bitlen: np.ndarray, row_lens: np.ndarray,
+                   woff_words: np.ndarray, out_words: int) -> np.ndarray:
+    """Slow numpy oracle of emit_bits for differential tests."""
+    out = np.zeros(out_words * 4, np.uint8)
+    for r in range(val.shape[0]):
+        bitpos = 0
+        base = int(woff_words[r]) * 4
+        for i in range(int(row_lens[r])):
+            ln = int(bitlen[r, i])
+            v = int(val[r, i])
+            for k in range(ln):
+                bit = (v >> (31 - k)) & 1
+                if bit:
+                    out[base + (bitpos >> 3)] |= 0x80 >> (bitpos & 7)
+                bitpos += 1
+    return out.view(np.int32).reshape(1, out_words)
