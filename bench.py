@@ -43,6 +43,18 @@ BLOCK_SIZE = int(os.environ.get("SHAFA_BENCH_BLOCK", 8 << 20))
 REPS = int(os.environ.get("SHAFA_BENCH_REPS", 3))
 
 
+def device_sync(x) -> None:
+    """Force completion of a device value WITHOUT downloading it.
+
+    Through the dev relay, jax.block_until_ready can return before the
+    producing computation has actually run (observed: a (8, 8Mi) kernel
+    "ready" in 0 ms whose 8 KB dependent download then took minutes). A
+    4-byte dependent slice download is the reliable fence.
+    """
+    for leaf in __import__("jax").tree_util.tree_leaves(x):
+        np.asarray(leaf.ravel()[:1] if hasattr(leaf, "ravel") else leaf)
+
+
 def synthetic(n: int, seed: int = 0) -> bytes:
     """Mixed-entropy corpus: interleaved runs, text-ish bytes, noise."""
     rng = np.random.default_rng(seed)
@@ -93,7 +105,10 @@ def e2e_roundtrip_check(data: bytes) -> float:
 
 
 def device_encode_seconds(data: bytes) -> float:
-    """Device-path F+T+C: blocks in HBM -> compacted .shaf payload in HBM."""
+    """Device-path F+T+C: blocks in HBM -> compacted .shaf payload in HBM.
+
+    Emission runs through the production dispatch (kernels/dispatch.py):
+    the Pallas/Mosaic kernel on TPU, XLA gathers elsewhere."""
     import jax
     import jax.numpy as jnp
 
@@ -101,9 +116,11 @@ def device_encode_seconds(data: bytes) -> float:
     from shafa_tpu import geometry
     from shafa_tpu.device import _bucket, _dl_bucket, \
         _row_bucket, _stack_blocks, MAX_BATCH_ELEMS
+    from shafa_tpu.kernels import emit_pallas as kemit
     from shafa_tpu.kernels import histogram as khist
     from shafa_tpu.kernels import pack as kpack
     from shafa_tpu.kernels import rle as krle
+    from shafa_tpu.kernels.dispatch import use_pallas_emit
 
     geo = geometry.geometry_for_size(len(data), BLOCK_SIZE)
     sizes = geo.sizes()
@@ -135,10 +152,20 @@ def device_encode_seconds(data: bytes) -> float:
                 "code length > 32 bits: bench corpus must stay on fast path"
             cl[:n] = tables.lens.astype(np.int32)
             cv[:n] = (tables.vals >> np.uint64(32)).astype(np.uint32)
-            flat, _plen = kpack.pack_batch_compact(
-                enc, enc_len, jnp.asarray(cl), jnp.asarray(cv), _dl_bucket)
+            if use_pallas_emit():
+                full_hists = np.zeros((rows, 256), np.int64)
+                full_hists[:n] = hists
+                byte_lens = kpack.pack_byte_lens(full_hists, cl)
+                woff, need = kemit.aligned_offsets(byte_lens)
+                out_words = _dl_bucket(4 * need) // 4
+                flat = kpack.pack_batch_pallas(
+                    enc, enc_len, cl, cv, out_words, woff)
+            else:
+                flat, _plen = kpack.pack_batch_compact(
+                    enc, enc_len, jnp.asarray(cl), jnp.asarray(cv),
+                    _dl_bucket)
             outs.append(flat)
-        jax.block_until_ready(outs)
+        device_sync(outs)
         return outs
 
     run_once()  # warm (compile)
@@ -146,6 +173,79 @@ def device_encode_seconds(data: bytes) -> float:
     for _ in range(REPS):
         run_once()
     return (time.perf_counter() - t0) / REPS
+
+
+def device_decode_seconds(data: bytes) -> tuple[float, int]:
+    """Device-path D: .shaf payloads in HBM -> decompressed bytes in HBM.
+
+    Covers the full decode chain (SF prefix decode + RLE expand + compacted
+    output; reference hot loops d.c:514-551 + d.c:116-197). Returns
+    (seconds per run, decompressed output bytes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from shafa_tpu import codes as codes_mod, geometry, oracle
+    from shafa_tpu.device import JaxBackend, _bucket, _dl_bucket, \
+        _row_bucket, _stack_blocks, MAX_BATCH_ELEMS
+    from shafa_tpu.kernels import decode as kdecode
+    from shafa_tpu.kernels import rle as krle
+
+    # encode on host (oracle) to produce the exact archive the device decodes
+    geo = geometry.geometry_for_size(len(data), BLOCK_SIZE)
+    raw = np.frombuffer(data, np.uint8)
+    blocks, pos = [], 0
+    for s in geo.sizes():
+        blocks.append(raw[pos:pos + s])
+        pos += s
+    rle_blocks = [oracle.rle_encode(b) for b in blocks]
+    hists = np.stack([oracle.histogram(b) for b in rle_blocks])
+    tables = codes_mod.build_code_tables(hists)
+    payloads = [oracle.pack(b, tables.lens[i], tables.vals[i])
+                for i, b in enumerate(rle_blocks)]
+    counts = [b.size for b in rle_blocks]
+
+    pblocks = [np.frombuffer(p, np.uint8) for p in payloads]
+    p = _bucket(max(b.size for b in pblocks))
+    bsz = max(1, MAX_BATCH_ELEMS // (p * 8))
+    tab_all = kdecode.decode_tables_batch(tables.lens, tables.vals)
+    batches = []
+    for lo in range(0, len(pblocks), bsz):
+        rows = pblocks[lo:lo + bsz]
+        nb = len(rows)
+        b_rows = _row_bucket(nb, bsz)
+        stacked, plens = _stack_blocks(rows, b_rows)
+        cts = np.zeros(b_rows, np.int32)
+        cts[:nb] = counts[lo:lo + nb]
+        tab = {}
+        for k, v in tab_all.items():
+            pad = np.zeros((b_rows,) + v.shape[1:], v.dtype)
+            pad[:nb] = v[lo:lo + nb]
+            if b_rows > nb:
+                pad[nb:] = v[lo:lo + 1]
+            tab[k] = pad
+        batches.append((jax.block_until_ready(jnp.asarray(stacked)),
+                        jnp.asarray(plens), tab, jnp.asarray(cts), nb))
+    out_p = _bucket(max(counts))
+
+    def run_once():
+        outs = []
+        for stacked, plens, tab, cts, nb in batches:
+            dec, _under = kdecode.decode_batch(stacked, plens, tab, cts,
+                                               out_p=out_p)
+            sizes_dev = krle.rle_expand_sizes(dec, cts)
+            sizes = np.asarray(sizes_dev).copy()
+            sizes[nb:] = 0
+            flat = krle.rle_expand_compact(
+                dec, cts, out_sz=_dl_bucket(int(sizes.sum())))
+            outs.append(flat)
+        device_sync(outs)
+        return outs
+
+    run_once()  # warm (compile)
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        run_once()
+    return (time.perf_counter() - t0) / REPS, len(data)
 
 
 def main() -> None:
@@ -156,7 +256,12 @@ def main() -> None:
           file=sys.stderr)
     dt = device_encode_seconds(data)
     mbps = SIZE / 1e6 / dt
-    print(f"device encode: {dt:.3f}s", file=sys.stderr)
+    print(f"device encode: {dt:.3f}s = {mbps:.1f} MB/s", file=sys.stderr)
+    if os.environ.get("SHAFA_BENCH_DECODE", "1") != "0":
+        ddt, out_bytes = device_decode_seconds(data)
+        dmbps = out_bytes / 1e6 / ddt
+        print(f"device decode: {ddt:.3f}s = {dmbps:.1f} MB/s out "
+              f"(C ref: 86 MB/s)", file=sys.stderr)
     print(json.dumps({
         "metric": "encode_throughput_device",
         "value": round(mbps, 2),

@@ -36,12 +36,13 @@ from .kernels import ops as kops
 from .kernels import pack as kpack
 from .kernels import rle as krle
 
-#: Max elements per (B, P) device batch — bounds peak HBM across the ~20x
-#: int32 intermediates of the scan/gather kernels. 1<<26 reproducibly
-#: faults the v5e device inside the output-centric emission (UNAVAILABLE
-#: "TPU device error" at (8, 8 MiB); (4, 8 MiB) and (2, 8 MiB) are fine),
-#: so the cap stays one notch below until the emission moves to Pallas.
-MAX_BATCH_ELEMS = 1 << 25
+#: Max elements per (B, P) device batch — bounds peak HBM across the int32
+#: intermediates of the analysis scans. History: (8, 8 MiB) batches
+#: reproducibly faulted v5e (UNAVAILABLE) inside the *gather* emission's
+#: ~20x int32 intermediates; the Pallas emission path (emit_pallas.py) has
+#: none of those (its working set is the 2-page VMEM accumulator), so the
+#: cap is restored to 1<<26 — verified on-chip at (8, 8 MiB) by bench.py.
+MAX_BATCH_ELEMS = 1 << 26
 
 #: Compacted downloads are padded to a multiple of this (few static shapes
 #: for the compact kernel, <=4 MiB slack per transfer).
@@ -257,16 +258,36 @@ class JaxBackend:
             else:
                 fast_idx.append(i)
         if fast_idx:
+            from .kernels import emit_pallas as kemit
+            from .kernels.dispatch import use_pallas_emit
+            pallas = use_pallas_emit() and self._sk is None
             stacked, lens = _stack_blocks([blocks[i] for i in fast_idx])
             lens_arr = tables.lens[fast_idx].astype(np.int32)
             vals_arr = (tables.vals[fast_idx] >> np.uint64(32)) \
                 .astype(np.uint32)
             for lo, hi in self._batches_for(len(fast_idx), stacked.shape[1]):
-                packed, plen = self._k_pack(
-                    stacked[lo:hi], lens[lo:hi],
-                    lens_arr[lo:hi], vals_arr[lo:hi])
-                for j in range(hi - lo):
-                    results[fast_idx[lo + j]] = packed[j, : plen[j]].tobytes()
+                if pallas:
+                    # exact packed sizes via a device histogram + host dot
+                    hist = np.asarray(khist.histogram_batch(
+                        stacked[lo:hi], lens[lo:hi]))
+                    byte_lens = kpack.pack_byte_lens(hist, lens_arr[lo:hi])
+                    woff, need = kemit.aligned_offsets(byte_lens)
+                    out_words = _dl_bucket(4 * need) // 4
+                    flat = kpack.pack_batch_pallas(
+                        stacked[lo:hi], lens[lo:hi], lens_arr[lo:hi],
+                        vals_arr[lo:hi], out_words, woff)
+                    buf = np.asarray(flat).ravel().view(np.uint8)
+                    for j in range(hi - lo):
+                        o = 4 * int(woff[j])
+                        results[fast_idx[lo + j]] = \
+                            buf[o:o + int(byte_lens[j])].tobytes()
+                else:
+                    packed, plen = self._k_pack(
+                        stacked[lo:hi], lens[lo:hi],
+                        lens_arr[lo:hi], vals_arr[lo:hi])
+                    for j in range(hi - lo):
+                        results[fast_idx[lo + j]] = \
+                            packed[j, : plen[j]].tobytes()
         return results
 
     def unpack(self, payloads, tables, out_counts):
@@ -349,11 +370,16 @@ class JaxBackend:
         ).astype(np.int64) if h.batches else np.zeros((0, 256), np.int64)
 
     def fused_raw_hists(self, h: _EncodeHandle):
-        """Histograms of the RAW blocks (N mode / -c f), device-resident."""
+        """Histograms of the RAW blocks (N mode / -c f), device-resident.
+
+        Cached per batch: the Pallas pack path reuses them to compute exact
+        packed byte lengths (kernels/pack.pack_byte_lens)."""
         step = _hist_step()
+        for b in h.batches:
+            if "raw_hist" not in b:
+                b["raw_hist"] = np.asarray(step(b["x"], np.asarray(b["lens"])))
         return np.concatenate(
-            [np.asarray(step(b["x"], np.asarray(b["lens"])))[: b["n"]]
-             for b in h.batches]
+            [b["raw_hist"][: b["n"]] for b in h.batches]
         ).astype(np.int64) if h.batches else np.zeros((0, 256), np.int64)
 
     def fused_rle_sizes(self, h: _EncodeHandle) -> np.ndarray:
@@ -379,12 +405,23 @@ class JaxBackend:
         """Bit-pack the device-resident streams (RLE or raw) with per-block
         code tables; downloads one compacted buffer per batch.
 
+        On TPU the emission is the Pallas kernel (kernels/emit_pallas.py,
+        emit_coded: in-kernel 256-entry LUT + bit concatenation — the
+        replacement for the reference's pre-shifted-table OR loop,
+        c.c:91-237 + 52-83); exact per-row byte lengths come for free from
+        the stream histograms (pack_byte_lens), and the host slices each
+        row out of one aligned flat download. Elsewhere: the XLA gather
+        emission (pack_batch_compact).
+
         host_row(i) -> np.uint8 row i's stream bytes, used only for the rare
         oracle-fallback rows (>32-bit codes / offset overflow).
         """
+        from .kernels import emit_pallas as kemit
+        from .kernels.dispatch import use_pallas_emit
         n_total = h.n_blocks
         results: list[bytes | None] = [None] * n_total
         maxlen = tables.lens.max(axis=1)
+        pallas = use_pallas_emit()
         pack = _pack_step()
         base = 0
         for b in h.batches:
@@ -408,12 +445,33 @@ class JaxBackend:
             cl[:n] = tables.lens[sel].astype(np.int32)
             cv[:n] = (tables.vals[sel] >> np.uint64(32)).astype(np.uint32)
             np.clip(cl, 0, 32, out=cl)
-            flat, plen_np = pack(src, src_len, cl, cv, _dl_bucket)
-            total = int(plen_np.sum())
-            flat = np.asarray(flat)[:total]
-            for j, row in enumerate(_split_rows(flat, plen_np[:n])):
-                if base + j not in fallback:
-                    results[base + j] = row.tobytes()
+            if pallas:
+                if use_rle:
+                    hist = np.asarray(b["hist"])
+                else:
+                    self.fused_raw_hists(h)  # ensure cached
+                    hist = b["raw_hist"]
+                byte_lens = kpack.pack_byte_lens(hist, cl)
+                byte_lens[n:] = 0
+                for i in fallback:
+                    byte_lens[i - base] = 0
+                woff, need = kemit.aligned_offsets(byte_lens)
+                out_words = _dl_bucket(4 * need) // 4
+                flat = kpack.pack_batch_pallas(
+                    src, src_len, cl, cv, out_words, woff)
+                buf = np.asarray(flat).ravel().view(np.uint8)
+                for j in range(n):
+                    if base + j not in fallback:
+                        o = 4 * int(woff[j])
+                        results[base + j] = \
+                            buf[o:o + int(byte_lens[j])].tobytes()
+            else:
+                flat, plen_np = pack(src, src_len, cl, cv, _dl_bucket)
+                total = int(plen_np.sum())
+                flat = np.asarray(flat)[:total]
+                for j, row in enumerate(_split_rows(flat, plen_np[:n])):
+                    if base + j not in fallback:
+                        results[base + j] = row.tobytes()
             for i in fallback:
                 blk = host_row(i)
                 if i in tables.overflow:

@@ -322,6 +322,31 @@ def emit_coded(x: jnp.ndarray, row_lens: jnp.ndarray,
                 lut_lo.reshape(b, 16, 16).astype(jnp.int32))
 
 
+@functools.partial(jax.jit, static_argnames=("stride_words", "t_lanes",
+                                              "interpret"))
+def emit_bits_rows(val: jnp.ndarray, bitlen: jnp.ndarray,
+                   row_lens: jnp.ndarray, stride_words: int,
+                   t_lanes: int = TILE,
+                   interpret: bool = False) -> jnp.ndarray:
+    """emit_bits into a strided (B, 4*stride_words) uint8 row layout.
+
+    Row r's packed stream occupies out[r, :ceil(bits_r/8)]; bytes past each
+    row's end are unspecified. stride_words must be a multiple of 128 (512 B
+    row alignment) and >= each row's packed length in words. Used by the
+    RLE encoder, whose output feeds the pack stage as a padded (B, P) array.
+    """
+    if stride_words % 128:
+        raise ValueError("stride_words must be a multiple of 128")
+    b = val.shape[0]
+    woff = jnp.arange(b, dtype=jnp.int32) * stride_words
+    out_words = b * stride_words + 2 * PAGE
+    flat = emit_bits(val, bitlen, row_lens, woff, out_words=out_words,
+                     t_lanes=t_lanes, interpret=interpret)
+    rows = flat[0, : b * stride_words].reshape(b, stride_words)
+    return jax.lax.bitcast_convert_type(rows, jnp.uint8) \
+        .reshape(b, 4 * stride_words)
+
+
 def aligned_offsets(byte_lens, align: int = 512):
     """Host helper: 512 B-aligned row start offsets for back-to-back layout.
 

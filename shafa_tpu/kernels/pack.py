@@ -168,6 +168,37 @@ def pack_batch_compact(x, lengths, code_lens, code_vals, out_sz_fn):
     return flat, out_len_np
 
 
+def pack_byte_lens(hists: np.ndarray, code_lens: np.ndarray) -> np.ndarray:
+    """Exact packed byte length per row from its stream histogram.
+
+    bits(row) = sum_s hist[row, s] * code_len[row, s]; the histogram of the
+    pack input is already on host (module T consumed it), so the Pallas path
+    gets its output layout for free — no device size pre-pass.
+    """
+    bits = (hists.astype(np.int64) * code_lens.astype(np.int64)).sum(axis=1)
+    return (bits + 7) >> 3
+
+
+def pack_batch_pallas(x, lengths, code_lens, code_vals, out_words: int,
+                      woff: np.ndarray, interpret: bool = False):
+    """Pack via the Pallas emission kernel (production TPU path).
+
+    x (B, P) uint8 (device-resident ok); woff/out_words from pack_byte_lens
+    + emit_pallas.aligned_offsets (out_words may be bucketed up). Returns
+    the (1, out_words) int32 buffer whose little-endian uint8 view holds
+    row r's packed bytes at [4*woff[r], 4*woff[r] + byte_lens[r]).
+    Replaces the reference's pre-shifted-table OR loop (c.c:91-237, 52-83).
+    """
+    from .dispatch import pallas_interpret
+    from .emit_pallas import emit_coded
+    cv = np.asarray(code_vals, dtype=np.uint32)
+    hi = (cv >> 16).astype(np.int32)
+    lo = (cv & np.uint32(0xFFFF)).astype(np.int32)
+    return emit_coded(x, lengths, code_lens, hi, lo, woff,
+                      out_words=out_words,
+                      interpret=interpret or pallas_interpret())
+
+
 def pack_batch_fused(x, lengths, code_lens, code_vals):
     """Single-graph composite (for shard_map on CPU meshes / interpreters
     where the split isn't needed and a single jittable callee is)."""

@@ -49,11 +49,14 @@ def rle_out_bound(p: int) -> int:
     return (2 * p + 8 + 511) & ~511
 
 
-@jax.jit
-def rle_encode_batch(x: jnp.ndarray, lengths: jnp.ndarray):
-    """(B, P) uint8 + (B,) lengths -> ((B, 2P+8) uint8, (B,) out lengths)."""
+def _rle_analyze(x: jnp.ndarray, lengths: jnp.ndarray):
+    """Shared per-lane run analysis (traced inside both emission paths).
+
+    Returns (xi, valid, sub_start, sub_len, escaped, contrib): every lane's
+    sub-segment geometry and its output contribution in bytes (3 at an
+    escape start, 1 for a literal, 0 inside an escaped run / padding).
+    """
     b, p = x.shape
-    out_p = rle_out_bound(p)
     xi = x.astype(jnp.int32)
     pos = jax.lax.broadcasted_iota(jnp.int32, (b, p), 1)
     valid = pos < lengths[:, None]
@@ -75,6 +78,39 @@ def rle_encode_batch(x: jnp.ndarray, lengths: jnp.ndarray):
     escaped = (sub_len >= MIN_ESCAPE_RUN) | (xi == 0)  # pointwise-correct
     contrib = jnp.where(valid,
                         jnp.where(escaped, jnp.where(sub_start, 3, 0), 1), 0)
+    return xi, valid, sub_start, sub_len, escaped, contrib
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def rle_encode_batch_pallas(x: jnp.ndarray, lengths: jnp.ndarray,
+                            interpret: bool = False):
+    """rle_encode_batch via the Pallas emission kernel (production TPU path).
+
+    Per-lane payload model (emit_pallas.emit_bits): an escape start emits the
+    24-bit triple (0x00, symbol, count), a literal emits its 8-bit byte,
+    escaped-run interiors emit nothing. Bytes past each row's out length are
+    UNSPECIFIED (the XLA path zeroes them); all consumers mask by length.
+    """
+    from .emit_pallas import emit_bits_rows
+    b, p = x.shape
+    xi, valid, sub_start, sub_len, escaped, contrib = _rle_analyze(x, lengths)
+    out_len = contrib.sum(axis=1)
+    is_trip = escaped & sub_start
+    bitlen = jnp.where(valid,
+                       jnp.where(escaped, jnp.where(sub_start, 24, 0), 8), 0)
+    val = jnp.where(is_trip, (xi << 16) | (sub_len << 8), xi << 24)
+    enc = emit_bits_rows(val.astype(jnp.uint32), bitlen, lengths,
+                         rle_out_bound(p) // 4, interpret=interpret)
+    return enc, out_len
+
+
+@jax.jit
+def rle_encode_batch_xla(x: jnp.ndarray, lengths: jnp.ndarray):
+    """(B, P) uint8 + (B,) lengths -> ((B, 2P+8) uint8, (B,) out lengths)."""
+    b, p = x.shape
+    out_p = rle_out_bound(p)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, p), 1)
+    xi, valid, sub_start, sub_len, escaped, contrib = _rle_analyze(x, lengths)
     cum = jnp.cumsum(contrib, axis=1)  # inclusive: lane i's output extent end
     out_len = cum[:, -1]
 
@@ -101,6 +137,20 @@ def rle_encode_batch(x: jnp.ndarray, lengths: jnp.ndarray):
 
     out = map_query_chunks(emit, b * out_p)
     return out.reshape(b, out_p), out_len
+
+
+def rle_encode_batch(x: jnp.ndarray, lengths: jnp.ndarray):
+    """Platform-dispatched RLE encode: Pallas on TPU, XLA gathers elsewhere.
+
+    Same contract either way: ((B, rle_out_bound(P)) uint8, (B,) out
+    lengths); bytes past each row's out length are unspecified on the Pallas
+    path (zero on the XLA path) — every consumer masks by length.
+    """
+    from .dispatch import pallas_interpret, use_pallas_emit
+    if use_pallas_emit():
+        return rle_encode_batch_pallas(x, lengths,
+                                       interpret=pallas_interpret())
+    return rle_encode_batch_xla(x, lengths)
 
 
 def _token_starts(xi: jnp.ndarray) -> jnp.ndarray:
