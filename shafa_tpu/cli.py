@@ -18,6 +18,7 @@ Exit status: 0 on success, 1 on any error (shafa.c:310-316).
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
 
 from . import formats, geometry, pipeline
@@ -176,11 +177,31 @@ def _make_backend(opts: Options):
     if opts.backend == "numpy":
         backend = pipeline.NumpyBackend()
     else:
+        import jax
+
         from .device import JaxBackend  # deferred: importing jax is slow
-        backend = JaxBackend(sequential=opts.no_multithread)
+        mesh = None
+        if jax.local_device_count() > 1 and not opts.no_multithread:
+            # Multi-chip host: shard the block axis over all local devices
+            # (the reference exposes its thread parallelism by default,
+            # shafa.c:55-56; ours likewise needs no flag).
+            from .dist import block_mesh
+            mesh = block_mesh(jax.local_devices())
+        backend = JaxBackend(mesh=mesh, sequential=opts.no_multithread)
     if opts.check:
         backend = pipeline.CheckedBackend(backend)
     return backend
+
+
+def _process_count() -> int:
+    """Hosts in the jax.distributed runtime (1 when not initialized)."""
+    if "jax" not in sys.modules and not os.environ.get("COORDINATOR_ADDRESS"):
+        return 1  # don't pay the jax import just to learn we're single-host
+    try:
+        import jax
+        return jax.process_count()
+    except Exception:
+        return 1
 
 
 def execute_modules(opts: Options, path: str,
@@ -190,6 +211,48 @@ def execute_modules(opts: Options, path: str,
     backend = _make_backend(opts)
     reports = reports if reports is not None else []
     decompressed = False
+
+    # Multi-host (jax.distributed): the full chains route through the
+    # DCN-scale driver (multihost.py) — contiguous per-host block ranges,
+    # KB-scale metadata allgathers, offset-disjoint pwrites (SURVEY §5.8).
+    if _process_count() > 1 and opts.backend != "numpy" and not opts.check:
+        from . import multihost
+        import time as _time
+        if opts.module_f and opts.module_t and opts.module_c \
+                and not opts.module_d:
+            t0 = _time.perf_counter()
+            try:
+                out = multihost.compress_multihost(
+                    path, opts.block_size, backend,
+                    force_rle=opts.f_force_rle, force_freq=opts.f_force_freq)
+            except ShafaError as e:
+                print("Module f: Something went wrong while compressing with"
+                      " RLE or creating frequencies' table...",
+                      file=sys.stderr)
+                return e.code
+            import jax
+            if jax.process_index() == 0:
+                print(f"Multihost compress ({jax.process_count()} hosts): "
+                      f"{out} in {(_time.perf_counter() - t0) * 1e3:.0f} ms")
+            return Code.SUCCESS
+        if opts.module_d and not (opts.module_f or opts.module_t
+                                  or opts.module_c) \
+                and formats.check_ext(path, formats.SHAFA_EXT) \
+                and not opts.d_rle:
+            t0 = _time.perf_counter()
+            try:
+                out = multihost.decompress_multihost(path, backend)
+            except ShafaError as e:
+                print("Module d: Something went wrong while decompressing...",
+                      file=sys.stderr)
+                return e.code
+            import jax
+            if jax.process_index() == 0:
+                print(f"Multihost decompress ({jax.process_count()} hosts): "
+                      f"{out} in {(_time.perf_counter() - t0) * 1e3:.0f} ms")
+            return Code.SUCCESS
+        # other module combinations fall through to the single-host path
+        # on every process (correct but duplicated work).
 
     if opts.module_f and opts.module_t and opts.module_c:
         # Full compress chain: fused device-resident path (same files, same
@@ -328,6 +391,14 @@ def main(argv: list[str] | None = None) -> int:
     if file is None:
         print("No file input", file=sys.stderr)
         return 1
+
+    # Multi-host: join the jax.distributed runtime when the standard env
+    # is present (COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID, or
+    # SHAFA_MULTIHOST=1 for TPU-pod autodetection) — SURVEY §5.8.
+    if opts.backend != "numpy" and (os.environ.get("COORDINATOR_ADDRESS")
+                                    or os.environ.get("SHAFA_MULTIHOST")):
+        from . import multihost
+        multihost.init_from_env()
 
     # Defaulting (shafa.c:293-305).
     if not (opts.module_f or opts.module_t or opts.module_c or opts.module_d):

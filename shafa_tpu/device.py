@@ -334,17 +334,27 @@ class JaxBackend:
             out.extend(ex[i, : ex_len[i]] for i in range(hi - lo))
         return out
 
-    # -- fused device-resident paths (single-device; pipeline fast path) ----
+    # -- fused device-resident paths (pipeline fast path) --------------------
 
     @property
     def supports_fused(self) -> bool:
-        return self._sk is None and not self.sequential
+        return not self.sequential
+
+    def _fused_rows(self, n: int, bsz: int) -> int:
+        """Row bucket for a fused batch; on a mesh, also a multiple of the
+        device count (shard_map requires B % n_devices == 0)."""
+        rows = _row_bucket(n, bsz)
+        if self._sk and rows % self._sk.n_devices:
+            rows = -(-rows // self._sk.n_devices) * self._sk.n_devices
+        return rows
 
     def fused_encode(self, blocks) -> _EncodeHandle:
         """Upload blocks once; run RLE + histogram-of-RLE on device.
 
         Raw and RLE streams stay device-resident for fused_pack; only the
-        (B,) RLE lengths and (B, 256) histograms come to host.
+        (B,) RLE lengths and (B, 256) histograms come to host. With a mesh,
+        both kernels shard_map the block axis (dist.ShardedKernels) and the
+        streams stay sharded across devices.
         """
         import jax.numpy as jnp
         h = _EncodeHandle()
@@ -355,10 +365,15 @@ class JaxBackend:
         step = _f_encode_step()
         for lo in range(0, len(blocks), bsz):
             rows = blocks[lo:lo + bsz]
-            stacked, lens = _stack_blocks(rows, _row_bucket(len(rows), bsz))
+            stacked, lens = _stack_blocks(rows, self._fused_rows(len(rows),
+                                                                 bsz))
             x = jnp.asarray(stacked)
             ld = jnp.asarray(lens)
-            enc, enc_len, hist = step(x, ld)
+            if self._sk:
+                enc, enc_len = self._sk.rle_encode_dev(x, ld)
+                hist = self._sk.histogram_dev(enc, enc_len)
+            else:
+                enc, enc_len, hist = step(x, ld)
             h.batches.append(dict(x=x, lens=lens, enc=enc, enc_len=enc_len,
                                   hist=hist, n=len(rows)))
         return h
@@ -374,7 +389,7 @@ class JaxBackend:
 
         Cached per batch: the Pallas pack path reuses them to compute exact
         packed byte lengths (kernels/pack.pack_byte_lens)."""
-        step = _hist_step()
+        step = (self._sk.histogram_dev if self._sk else _hist_step())
         for b in h.batches:
             if "raw_hist" not in b:
                 b["raw_hist"] = np.asarray(step(b["x"], np.asarray(b["lens"])))
@@ -445,7 +460,18 @@ class JaxBackend:
             cl[:n] = tables.lens[sel].astype(np.int32)
             cv[:n] = (tables.vals[sel] >> np.uint64(32)).astype(np.uint32)
             np.clip(cl, 0, 32, out=cl)
-            if pallas:
+            if self._sk:
+                # Mesh: per-shard production emission (Pallas on TPU, XLA
+                # stages on the CPU test mesh) via the sharded pack; the
+                # padded-row download is the mesh path's remaining
+                # transfer-size gap vs single-device compaction.
+                packed, plen = self._sk.pack_dev(src, src_len, cl, cv)
+                packed = np.asarray(packed)
+                plen = np.asarray(plen)
+                for j in range(n):
+                    if base + j not in fallback:
+                        results[base + j] = packed[j, : plen[j]].tobytes()
+            elif pallas:
                 if use_rle:
                     hist = np.asarray(b["hist"])
                 else:
@@ -487,6 +513,11 @@ class JaxBackend:
                      expand: bool) -> list[np.ndarray]:
         """Device-resident D chain: SF decode (+ optional RLE expand), one
         compacted download of the final bytes."""
+        if self._sk:
+            # Mesh: the per-stage sharded kernels already cover the D chain
+            # (block order preserved by the deterministic shard layout).
+            decoded = self.unpack(payloads, tables, out_counts)
+            return self.rle_expand(decoded) if expand else decoded
         n_total = len(payloads)
         results: list[np.ndarray | None] = [None] * n_total
         maxlen = tables.lens.max(axis=1)

@@ -77,12 +77,12 @@ class ShardedKernels:
             khist.histogram_batch,
             in_specs=(P(AXIS, None), P(AXIS)),
             out_specs=P(AXIS, None)))
-        # NOTE: the *_fused composites re-fuse the split jit stages into one
-        # program — fine on the CPU test mesh; a real TPU pod slice would
-        # shard_map each stage separately (see device.py jit-granularity
-        # note) once multi-chip hardware is available.
+        # kpack.pack_batch dispatches per platform: the Pallas emission
+        # kernel per shard on TPU meshes (kernels/emit_pallas.py), the XLA
+        # two-stage composite on the CPU test mesh — so the mesh path runs
+        # the same production emission as single-chip, per shard.
         self._pack = jax.jit(spec(
-            kpack.pack_batch_fused,
+            kpack.pack_batch,
             in_specs=(P(AXIS, None), P(AXIS), P(AXIS, None), P(AXIS, None)),
             out_specs=(P(AXIS, None), P(AXIS))))
         tab_spec = {k: P(AXIS) if k == "n_codes" else P(AXIS, None)
@@ -97,6 +97,19 @@ class ShardedKernels:
         self._expand = {}  # out_p -> compiled fn
         self._spec = spec
         self.n_devices = d
+
+    # -- device-resident variants (mesh fused path; jax arrays in/out) ------
+
+    def rle_encode_dev(self, x, lens):
+        """Sharded RLE encode keeping outputs device-resident (mesh fused
+        path). Caller pads rows to a mesh-size multiple."""
+        return self._rle_encode(x, lens)
+
+    def histogram_dev(self, x, lens):
+        return self._hist(x, lens)
+
+    def pack_dev(self, x, lens, code_lens, code_vals):
+        return self._pack(x, lens, code_lens, code_vals)
 
     # -- per-kernel public wrappers (numpy in / numpy out, any B) ----------
 

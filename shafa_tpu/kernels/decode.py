@@ -217,13 +217,55 @@ def _rank_fields(w: jnp.ndarray, t: dict):
     return ln, sym
 
 
+#: stage1 byte-chunk width: bounds the (B, 8*chunk, 16) one-hot temporaries
+#: of the hierarchical rank. Unchunked, a (4, 8 MiB) batch materializes a
+#: 16 GB one-hot and OOMs the 16 GB HBM (observed on v5e); at 2^18 bytes
+#: the peak temp is ~(B * 2^21 * 16 * 4) bytes per buffer.
+STAGE1_CHUNK = 1 << 18
+
+
 def decode_stage1(payload: jnp.ndarray, tables: dict):
     """Window construction + per-bit-position rank: (len, sym) per bit.
 
-    Separate compile unit from the chain stage (see pack_stage1 for the
-    XLA fusion compile-time pathology this avoids)."""
-    w = _windows32(payload)
-    return _rank_fields(w, tables)
+    Chunked over byte positions with lax.map so the rank's one-hot
+    temporaries stay bounded (see STAGE1_CHUNK); each chunk rebuilds its
+    windows from a 4-byte-halo payload slice. Output stays in _windows32's
+    plane-major slot order. Separate compile unit from the chain stage (see
+    pack_stage1 for the XLA fusion compile-time pathology this avoids)."""
+    b, p = payload.shape
+    cj = min(STAGE1_CHUNK, p)
+    n_chunks = p // cj
+    if n_chunks <= 1:
+        return _rank_fields(_windows32(payload), tables)
+    padded = jnp.pad(payload, ((0, 0), (0, 4)))
+
+    def chunk_fn(c):
+        seg = jax.lax.dynamic_slice(padded, (0, c * cj), (b, cj + 4))
+        w = _windows32_halo(seg, cj)         # (B, 8*cj) plane-major
+        ln, sym = _rank_fields(w, tables)
+        return ln.reshape(b, 8, cj), sym.reshape(b, 8, cj)
+
+    ln, sym = jax.lax.map(chunk_fn, jnp.arange(n_chunks, dtype=jnp.int32))
+    # (nch, B, 8, cj) -> (B, 8, nch, cj) -> (B, 8P) plane-major
+    ln = ln.transpose(1, 2, 0, 3).reshape(b, 8 * p)
+    sym = sym.transpose(1, 2, 0, 3).reshape(b, 8 * p)
+    return ln, sym
+
+
+def _windows32_halo(seg: jnp.ndarray, cj: int) -> jnp.ndarray:
+    """Windows for the first cj bytes of a (B, cj+4) slice (4-byte halo)."""
+    b = seg.shape[0]
+    by = seg.astype(jnp.uint32)
+
+    def sh(k):
+        return by[:, k:k + cj]
+
+    w32 = (sh(0) << 24) | (sh(1) << 16) | (sh(2) << 8) | sh(3)
+    b4 = sh(4)
+    outs = []
+    for s in range(8):
+        outs.append(w32 if s == 0 else (w32 << s) | (b4 >> (8 - s)))
+    return jnp.stack(outs, axis=1).reshape(b, 8 * cj)
 
 
 def decode_stage2(ln: jnp.ndarray, sym: jnp.ndarray,

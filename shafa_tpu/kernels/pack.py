@@ -21,6 +21,8 @@ even approach optimality) fall back to the numpy oracle at the backend level.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -139,16 +141,45 @@ _stage2_jit = jax.jit(pack_stage2)
 _compact_jit = jax.jit(pack_compact, static_argnames=("out_sz",))
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pack_batch_rows_pallas(x, lengths, code_lens, code_vals,
+                           interpret: bool = False):
+    """Pallas pack into the padded (B, 4P+16) row layout of pack_batch.
+
+    Packed byte lengths come from an on-device histogram . code-lens dot
+    (one MXU pass); emission is emit_coded_rows. shard_map-friendly: no
+    host-side offsets, so this is also the per-shard mesh path.
+    """
+    from .emit_pallas import emit_coded_rows
+    from .histogram import histogram_batch
+    b, p = x.shape
+    hist = histogram_batch(x, lengths)
+    bits = jnp.sum(hist * code_lens, axis=1)  # < 2^31 (caller's guard)
+    out_len = (bits + 7) >> 3
+    cv = code_vals.astype(jnp.uint32)
+    hi = (cv >> 16).astype(jnp.int32)
+    lo = (cv & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    packed = emit_coded_rows(x, lengths, code_lens.astype(jnp.int32), hi, lo,
+                             pack_out_bound(p) // 4, interpret=interpret)
+    return packed, out_len
+
+
 def pack_batch(x: jnp.ndarray, lengths: jnp.ndarray,
                code_lens: jnp.ndarray, code_vals: jnp.ndarray):
     """Pack (B, P) uint8 symbol streams with per-block code tables.
 
     code_lens: (B, 256) int32; code_vals: (B, 256) uint32 (left-aligned).
-    Returns ((B, 4P+16) uint8 packed, (B,) packed byte lengths).
+    Returns ((B, 4P+16) uint8 packed, (B,) packed byte lengths); bytes past
+    each row's length are unspecified on the Pallas path (zero on XLA).
 
-    Dispatches the two stages as separate jit calls (device-resident
-    between them) — see pack_stage1 for why they must not fuse.
+    Platform-dispatched like rle_encode_batch: the Mosaic kernel on TPU;
+    elsewhere the two XLA stages as separate jit calls (device-resident
+    between them — see pack_stage1 for why they must not fuse).
     """
+    from .dispatch import pallas_interpret, use_pallas_emit
+    if use_pallas_emit():
+        return pack_batch_rows_pallas(x, lengths, code_lens, code_vals,
+                                      interpret=pallas_interpret())
     off, val, bit_total, out_len = _stage1_jit(x, lengths, code_lens,
                                                code_vals)
     return _stage2_jit(off, val, bit_total), out_len

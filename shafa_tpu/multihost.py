@@ -38,10 +38,18 @@ from .errors import FileInaccessibleError, FileTooSmallError
 
 def init_from_env() -> None:
     """Join the multi-host runtime. On TPU pods jax.distributed.initialize()
-    autodetects; otherwise COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID."""
+    autodetects; otherwise COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID.
+
+    Must run before ANY backend-initializing jax call (jax.devices etc.),
+    so the already-initialized check inspects jax.distributed's own state
+    instead of calling jax.process_count()."""
     import jax
-    if jax.process_count() > 1:
-        return  # already initialized
+    try:
+        from jax._src import distributed as _dist
+        if getattr(_dist.global_state, "client", None) is not None:
+            return  # already initialized
+    except ImportError:
+        pass
     if os.environ.get("COORDINATOR_ADDRESS"):
         jax.distributed.initialize(
             coordinator_address=os.environ["COORDINATOR_ADDRESS"],
@@ -95,13 +103,24 @@ class Comm:
         return jax.process_count()
 
     def allgather(self, local: np.ndarray) -> np.ndarray:
-        """Concatenate each host's int64 array along axis 0, process order.
-        Only KB-scale metadata (sizes, histograms) ever crosses hosts."""
+        """Concatenate each host's array along axis 0, process order.
+
+        Handles RAGGED per-host row counts (n_blocks rarely divides the
+        host count): a scalar-length gather first, then a padded gather and
+        per-host slicing. Only KB-scale metadata (sizes, histograms) ever
+        crosses hosts."""
+        local = np.asarray(local)
         if self.count <= 1:
-            return np.asarray(local)
-        from jax.experimental import multihost_utils
-        return np.asarray(
-            multihost_utils.process_allgather(np.asarray(local), tiled=True))
+            return local
+        from jax.experimental import multihost_utils as mhu
+        ns = np.asarray(mhu.process_allgather(
+            np.array([local.shape[0]], np.int64), tiled=True)).ravel()
+        m = int(ns.max())
+        pad = np.zeros((m,) + local.shape[1:], local.dtype)
+        pad[: local.shape[0]] = local
+        stacked = np.asarray(mhu.process_allgather(pad))  # (count, m, ...)
+        return np.concatenate(
+            [stacked[i, : int(ns[i])] for i in range(self.count)], axis=0)
 
 
 def read_block_range(path: str, sizes: list[int], rng: BlockRange

@@ -241,6 +241,163 @@ def module_f(path: str, force_rle: bool, force_freq: bool, block_size: int,
     return new_path, report
 
 
+#: Streaming threshold: above this input size the fused pipeline processes
+#: the file batch-at-a-time with bounded host RSS and device HBM (two data
+#: passes) instead of keeping every stream device-resident. The reference's
+#: >2 GiB fsize fallback (file.c:91-108) marks huge files as in-scope.
+STREAM_THRESHOLD = int(os.environ.get("SHAFA_STREAM_THRESHOLD", 256 << 20))
+
+
+def _read_block_range(fp, geo, lo: int, hi: int) -> list[np.ndarray]:
+    """Blocks [lo, hi) of an open file (one contiguous read)."""
+    sizes = geo.sizes()
+    fp.seek(geo.offset(lo))
+    buf = fp.read(sum(sizes[lo:hi]))
+    out, pos = [], 0
+    for s in sizes[lo:hi]:
+        if pos + s > len(buf):
+            raise FileUnrecognizableError("truncated block")
+        out.append(np.frombuffer(buf, np.uint8, count=s, offset=pos))
+        pos += s
+    return out
+
+
+def _stream_batches(geo, block_size: int):
+    """Block index ranges sized like the device backend's batches."""
+    from .device import MAX_BATCH_ELEMS, _bucket
+    p = _bucket(block_size)
+    bsz = max(1, MAX_BATCH_ELEMS // p)
+    for lo in range(0, geo.n_blocks, bsz):
+        yield lo, min(lo + bsz, geo.n_blocks)
+
+
+def compress_pipeline_streaming(path: str, force_rle: bool, force_freq: bool,
+                                block_size: int, backend: Backend
+                                ) -> tuple[str, list[StageReport]]:
+    """Bounded-RSS fused pipeline: two passes, one device batch at a time.
+
+    Pass F streams batches through RLE+histogram, appending exact `.rle`
+    bytes as they compact off the device and keeping only KB-scale
+    histograms/sizes on host; module T runs on the gathered histograms;
+    pass C re-reads the stream (`.rle` or the original) batch-wise and
+    appends `.shaf` frames. Peak host RSS and device HBM are one batch
+    (~MAX_BATCH_ELEMS plus outputs) regardless of file size — the 1 GiB+
+    BASELINE configs run without slurping the input (file.c:91-108 scope).
+    Output files are byte-identical to compress_pipeline (golden-tested).
+    """
+    t0 = time.perf_counter()
+    if not os.path.isfile(path):
+        raise FileInaccessibleError(path)
+    geo = geometry.geometry_for_file(path, block_size)
+    if geo.total < geometry.MIN_FILE_SIZE:
+        raise FileTooSmallError(path)
+    sizes = geo.sizes()
+
+    # --- pass F ------------------------------------------------------------
+    rle_sizes: list[int] = []
+    rle_hists: list[np.ndarray] = []
+    raw_hists: list[np.ndarray] = []
+    compress_rle: bool | None = None
+    generated: list[str] = []
+    path_rle = formats.add_ext(path, formats.RLE_EXT)
+    rle_tmp = _AtomicFile(path_rle)
+    rle_fp = None
+    try:
+        with open(path, "rb") as fp:
+            for lo, hi in _stream_batches(geo, block_size):
+                blocks = _read_block_range(fp, geo, lo, hi)
+                h = backend.fused_encode(blocks)
+                batch_sizes = backend.fused_rle_sizes(h)
+                if compress_rle is None:  # gate from block 0 (f.c:250-257)
+                    ratio = (sizes[0] - int(batch_sizes[0])) / sizes[0]
+                    compress_rle = force_rle or ratio >= RLE_GATE_RATIO
+                    if compress_rle:
+                        rle_fp = rle_tmp.__enter__()
+                if compress_rle:
+                    rle_sizes.extend(int(s) for s in batch_sizes)
+                    rle_hists.append(backend.fused_rle_hists(h))
+                    rle_fp.write(backend.fused_rle_bytes(h).tobytes())
+                if force_freq or not compress_rle:
+                    raw_hists.append(backend.fused_raw_hists(h))
+                del h  # free the batch's device arrays
+    except BaseException:
+        if rle_fp is not None:
+            rle_tmp.__exit__(RuntimeError, None, None)
+        raise
+    if rle_fp is not None:
+        rle_tmp.__exit__(None, None, None)
+
+    if compress_rle:
+        freqs = np.concatenate(rle_hists)
+        path_rle_freq = formats.add_ext(path_rle, formats.FREQ_EXT)
+        with _AtomicFile(path_rle_freq) as fp:
+            formats.write_freq_arrays(fp, "R", rle_sizes, freqs)
+        generated += [path_rle, path_rle_freq]
+        mode, stream_sizes = "R", rle_sizes
+    if force_freq or not compress_rle:
+        nfreqs = np.concatenate(raw_hists)
+        path_freq = formats.add_ext(path, formats.FREQ_EXT)
+        with _AtomicFile(path_freq) as fp:
+            formats.write_freq_arrays(fp, "N", sizes, nfreqs)
+        generated.append(path_freq)
+        if not compress_rle:
+            mode, stream_sizes, freqs = "N", list(sizes), nfreqs
+    data_path = path_rle if compress_rle else path
+    rep_f = StageReport(
+        module="f", n_blocks=geo.n_blocks, sizes_before=sizes,
+        sizes_after=stream_sizes,
+        runtime_ms=(time.perf_counter() - t0) * 1e3, generated=generated,
+        extra={"compress_rle": compress_rle, "size_f": geo.total,
+               "streaming": True})
+
+    # --- module T ------------------------------------------------------------
+    t1 = time.perf_counter()
+    try:
+        tables = codes_mod.build_code_tables(freqs)
+        path_cod = formats.add_ext(data_path, formats.CODES_EXT)
+        with _AtomicFile(path_cod) as fp:
+            formats.write_cod_tables(fp, mode, stream_sizes, tables)
+    except ShafaError as e:
+        e.stage = "t"
+        raise
+    rep_t = StageReport(
+        module="t", n_blocks=geo.n_blocks, sizes_before=stream_sizes,
+        sizes_after=stream_sizes,
+        runtime_ms=(time.perf_counter() - t1) * 1e3, generated=[path_cod])
+
+    # --- pass C ------------------------------------------------------------
+    t2 = time.perf_counter()
+    payload_sizes: list[int] = []
+    try:
+        path_shafa = formats.add_ext(data_path, formats.SHAFA_EXT)
+        with _AtomicFile(path_shafa) as out_fp, open(data_path, "rb") as fp:
+            formats.write_shaf_header(out_fp, geo.n_blocks)
+            offs = np.concatenate(([0], np.cumsum(stream_sizes)))
+            for lo, hi in _stream_batches(geo, block_size):
+                fp.seek(offs[lo])
+                buf = fp.read(int(offs[hi] - offs[lo]))
+                blocks, pos = [], 0
+                for s in stream_sizes[lo:hi]:
+                    blocks.append(np.frombuffer(buf, np.uint8, count=s,
+                                                offset=pos))
+                    pos += s
+                sub = codes_mod.CodeTables(
+                    tables.lens[lo:hi], tables.vals[lo:hi],
+                    {i - lo: v for i, v in tables.overflow.items()
+                     if lo <= i < hi})
+                for p in backend.pack(blocks, sub):
+                    formats.write_shaf_block(out_fp, p)
+                    payload_sizes.append(len(p))
+    except ShafaError as e:
+        e.stage = "c"
+        raise
+    rep_c = StageReport(
+        module="c", n_blocks=geo.n_blocks, sizes_before=stream_sizes,
+        sizes_after=payload_sizes,
+        runtime_ms=(time.perf_counter() - t2) * 1e3, generated=[path_shafa])
+    return path_shafa, [rep_f, rep_t, rep_c]
+
+
 # ---------------------------------------------------------------------------
 # Fused F+T+C (device-resident; byte-identical to the sequential modules)
 # ---------------------------------------------------------------------------
@@ -273,6 +430,11 @@ def compress_pipeline(path: str, force_rle: bool, force_freq: bool,
             e.stage = "c"
             raise
         return p, [rf, rt, rc]
+
+    if (os.path.isfile(path)
+            and os.path.getsize(path) > STREAM_THRESHOLD):
+        return compress_pipeline_streaming(path, force_rle, force_freq,
+                                           block_size, backend)
 
     t0 = time.perf_counter()
     if not os.path.isfile(path):

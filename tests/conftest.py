@@ -24,6 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402
 
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-process / large-input tests")
+
 REF_SRC = "/root/reference/src"
 REF_BIN = "/tmp/refbin/shafa"
 

@@ -1,0 +1,75 @@
+"""Streaming (bounded-RSS) fused pipeline: byte-identity vs the resident
+path, both RLE and N modes, ragged tails, and resumable sidecars."""
+
+import os
+
+import numpy as np
+import pytest
+
+from corpus import mixed
+
+from shafa_tpu import pipeline
+from shafa_tpu.device import JaxBackend
+
+
+def _write(tmp, name, data):
+    p = str(tmp / name)
+    with open(p, "wb") as fp:
+        fp.write(data)
+    return p
+
+
+@pytest.mark.parametrize("seed,size,force_freq", [
+    (31, 700_000, False),        # R mode, ragged tail
+    (32, 512 * 1024, True),      # exact block multiple + -c f
+])
+def test_streaming_matches_resident(tmp_path, monkeypatch, seed, size,
+                                    force_freq):
+    data = mixed(size, seed=seed)
+    pa = _write(tmp_path, "stream.bin", data)
+    pb = _write(tmp_path, "resident.bin", data)
+    backend = JaxBackend()
+    block = 64 << 10
+
+    monkeypatch.setattr(pipeline, "STREAM_THRESHOLD", 100_000)
+    shaf_a, reps = pipeline.compress_pipeline(pa, False, force_freq, block,
+                                              backend)
+    assert reps[0].extra.get("streaming") is True
+    monkeypatch.setattr(pipeline, "STREAM_THRESHOLD", 1 << 60)
+    shaf_b, _ = pipeline.compress_pipeline(pb, False, force_freq, block,
+                                           backend)
+
+    exts = sorted(f.split("stream.bin")[1] for f in os.listdir(tmp_path)
+                  if f.startswith("stream.bin") and f != "stream.bin")
+    assert exts == sorted(f.split("resident.bin")[1]
+                          for f in os.listdir(tmp_path)
+                          if f.startswith("resident.bin")
+                          and f != "resident.bin")
+    for ext in exts:
+        with open(pa + ext, "rb") as fa, open(pb + ext, "rb") as fb:
+            assert fa.read() == fb.read(), f"{ext}: streaming != resident"
+
+    # roundtrip through the normal decoder
+    os.rename(pa, pa + ".orig")
+    out, _ = pipeline.module_d_shafa(shaf_a,
+                                     rle_decompression=".rle." in shaf_a,
+                                     backend=backend)
+    with open(out, "rb") as fp:
+        assert fp.read() == data
+
+
+def test_streaming_incompressible_n_mode(tmp_path, monkeypatch):
+    rng = np.random.default_rng(33)
+    data = rng.integers(0, 256, 300_000, dtype=np.uint8).tobytes()
+    p = _write(tmp_path, "noise.bin", data)
+    backend = JaxBackend()
+    monkeypatch.setattr(pipeline, "STREAM_THRESHOLD", 100_000)
+    shaf, reps = pipeline.compress_pipeline(p, False, False, 64 << 10,
+                                            backend)
+    assert not reps[0].extra["compress_rle"]
+    assert not os.path.exists(p + ".rle")
+    os.rename(p, p + ".orig")
+    out, _ = pipeline.module_d_shafa(shaf, rle_decompression=False,
+                                     backend=backend)
+    with open(out, "rb") as fp:
+        assert fp.read() == data
