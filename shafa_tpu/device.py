@@ -201,11 +201,11 @@ class JaxBackend:
         packed, plen = kpack.pack_batch(x, lens, cl, cv)
         return np.asarray(packed), np.asarray(plen)
 
-    def _k_decode(self, payload, plens, tables, counts, out_p):
+    def _k_decode(self, payload, plens, tables, counts, out_p, max_len=32):
         if self._sk:
             return self._sk.decode(payload, plens, tables, counts, out_p)
         out, under = kdecode.decode_batch(payload, plens, tables, counts,
-                                          out_p)
+                                          out_p, max_len=max_len)
         return np.asarray(out), np.asarray(under)
 
     def _k_expand_sizes(self, x, lens):
@@ -310,11 +310,12 @@ class JaxBackend:
             tab = kdecode.decode_tables_batch(tables.lens[fast_idx],
                                               tables.vals[fast_idx])
             out_p = _bucket(int(counts.max()))
+            ml = int(maxlen[fast_idx].max())
             for lo, hi in self._batches_for(len(fast_idx), stacked.shape[1] * 8):
                 sub_tab = {k: v[lo:hi] for k, v in tab.items()}
                 out, underrun = self._k_decode(
                     stacked[lo:hi], plens[lo:hi], sub_tab,
-                    counts[lo:hi], out_p)
+                    counts[lo:hi], out_p, max_len=ml)
                 if bool(underrun.any()):
                     raise ValueError("compressed stream exhausted early")
                 for j in range(hi - lo):
@@ -557,7 +558,8 @@ class JaxBackend:
                     pad[nb:] = v[lo:lo + 1]
                 tab[k] = pad
             dec, underrun = decode(jnp.asarray(stacked), plens, tab, counts,
-                                   out_p=out_p)
+                                   out_p=out_p,
+                                   max_len=int(maxlen[fast_idx].max()))
             if bool(np.asarray(underrun)[:nb].any()):
                 raise ValueError("compressed stream exhausted early")
             if expand:

@@ -307,19 +307,160 @@ def decode_stage2(ln: jnp.ndarray, sym: jnp.ndarray,
     return out.astype(jnp.uint8), underrun
 
 
+# ---------------------------------------------------------------------------
+# Stage 2 v2: FSM scan + Pallas emission (the TPU production chain stage)
+# ---------------------------------------------------------------------------
+#
+# The pointer-doubling stage2 above runs on XLA gathers, which serialize on
+# real TPU (~35 Melem/s measured on v5e — 45 s for a (2, 8 MiB) batch). The
+# v2 formulation has no gathers at all:
+#
+#   * the bit chain is a finite-state machine over BYTES: the state before
+#     byte j is "bits until the next symbol boundary" in [0, S) with
+#     S >= max code length; each byte's transition function (an S-vector of
+#     next-states) is built elementwise from the 8 per-bit code lengths of
+#     stage1 (8 unrolled countdown/reload rounds);
+#   * transitions compose associatively, so jax.lax.associative_scan
+#     resolves the whole history in log2(P) ELEMENTWISE rounds;
+#   * per byte, entry state -> up to 8 ordered boundary symbols (8 more
+#     elementwise replay rounds), packed into two <=32-bit lanes per byte;
+#   * the Pallas emission kernel (emit_pallas.emit_bits_rows) concatenates
+#     the per-byte symbol packs into the decoded rows — termination by
+#     known output count (d.c:530) via an ordinal clip on the pack lengths.
+
+
+def _fsm_tables(ln8: jnp.ndarray, s_states: int) -> jnp.ndarray:
+    """Per-byte FSM transitions f (S, B, P) int8 from per-bit lens.
+
+    ln8 (B, 8, P) int8: plane q = code length at bit 8j+q. f[s, b, j] =
+    state after consuming byte j entering with state s. 8 countdown/reload
+    rounds; garbage lens (padding bits) are clamped into range — only the
+    true chain's states matter downstream."""
+    b, _, p = ln8.shape
+    q = jnp.broadcast_to(
+        jnp.arange(s_states, dtype=jnp.int8)[:, None, None], (s_states, b, p))
+    planes = [ln8[:, k, :].astype(jnp.int8) for k in range(8)]
+    for _ in range(8):
+        ln_at = jnp.zeros_like(q)
+        for k in range(8):
+            ln_at = jnp.where(q == k, jnp.maximum(planes[k], 1), ln_at)
+        q = jnp.where(q < 8, q + ln_at, q)
+    return jnp.clip(q - 8, 0, s_states - 1).astype(jnp.int8)
+
+
+def _fsm_scan(f: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive composition scan over bytes: F[:, :, j] = f_0 o ... o f_j."""
+    s_states = f.shape[0]
+
+    def compose(a, c):
+        out = jnp.zeros_like(a)
+        for t in range(s_states):
+            out = jnp.where(a == t, c[t][None], out)
+        return out
+
+    return jax.lax.associative_scan(compose, f, axis=2)
+
+
+def decode_stage2_scan(ln: jnp.ndarray, sym: jnp.ndarray,
+                       payload_lens: jnp.ndarray, out_counts: jnp.ndarray,
+                       stride_words: int, s_states: int,
+                       interpret: bool = False):
+    """FSM-scan chain + Pallas emission: ((B, 4*stride_words) u8, underrun).
+
+    ln/sym in stage1's plane-major slot order; s_states static >= the
+    batch's max code length (callers pick 8/16/32 and route longer codes to
+    the oracle). Row r's decoded bytes are out[r, :out_counts[r]]; bytes
+    past that are unspecified."""
+    from .emit_pallas import emit_bits_rows
+    b, nslots = ln.shape
+    p = nslots // 8
+    ln8 = ln.reshape(b, 8, p).astype(jnp.int8)
+    sym8 = sym.reshape(b, 8, p)
+
+    f = _fsm_tables(ln8, s_states)
+    fscan = _fsm_scan(f)
+    entry = jnp.pad(fscan[0, :, :-1], ((0, 0), (1, 0))).astype(jnp.int32)
+
+    # replay boundaries within each byte (ordered by round)
+    planes_ln = [ln8[:, k, :].astype(jnp.int32) for k in range(8)]
+    planes_sym = [sym8[:, k, :] for k in range(8)]
+    q = entry
+    syms = []
+    for _ in range(8):
+        is_b = q < 8
+        s_at = jnp.zeros_like(q)
+        l_at = jnp.ones_like(q)
+        for k in range(8):
+            hit = q == k
+            s_at = jnp.where(hit, planes_sym[k], s_at)
+            l_at = jnp.where(hit, jnp.maximum(planes_ln[k], 1), l_at)
+        syms.append((is_b, s_at))
+        q = jnp.where(is_b, q + l_at, q)
+    nb = sum(m.astype(jnp.int32) for m, _ in syms)
+
+    # output-count clip: allowed symbols for byte j given row's out_count
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, p), 1)
+    in_payload = pos < payload_lens[:, None]
+    nb = jnp.where(in_payload, nb, 0)
+    cum = jnp.cumsum(nb, axis=1)
+    before = cum - nb
+    allowed = jnp.clip(out_counts[:, None] - before, 0, nb)
+    underrun = cum[:, -1] < out_counts
+
+    def pack4(slots, base):
+        val = jnp.zeros((b, p), jnp.uint32)
+        for i in range(4):
+            if base + i < len(slots):
+                _, s_at = slots[base + i]
+                val = val | (s_at.astype(jnp.uint32) << (24 - 8 * i))
+        n = jnp.clip(allowed - base, 0, 4)
+        bits = 8 * n
+        mask = jnp.where(n > 0,
+                         (~jnp.uint32(0)) << (32 - bits).astype(jnp.uint32),
+                         jnp.uint32(0))
+        return val & mask, bits
+
+    val1, len1 = pack4(syms, 0)
+    val2, len2 = pack4(syms, 4)
+    # interleave to (B, 2P) byte-lane order: lane 2j = first 4 syms of
+    # byte j, lane 2j+1 = the rest
+    vals = jnp.stack([val1, val2], axis=2).reshape(b, 2 * p)
+    lens = jnp.stack([len1, len2], axis=2).reshape(b, 2 * p)
+    rows = emit_bits_rows(vals, lens, 2 * payload_lens, stride_words,
+                          interpret=interpret)
+    return rows, underrun
+
+
+_stage2_scan_jit = jax.jit(
+    decode_stage2_scan,
+    static_argnames=("stride_words", "s_states", "interpret"))
+
+
 _stage1_jit = jax.jit(decode_stage1)
 _stage2_jit = jax.jit(decode_stage2, static_argnames=("out_p",))
 
 
 def decode_batch(payload: jnp.ndarray, payload_lens: jnp.ndarray,
-                 tables: dict, out_counts: jnp.ndarray, out_p: int):
-    """(B, P) packed payloads -> ((B, out_p) uint8 symbols, mask info).
+                 tables: dict, out_counts: jnp.ndarray, out_p: int,
+                 max_len: int = 32):
+    """(B, P) packed payloads -> ((B, out_p) uint8 symbols, underrun).
 
     out_p: static padded output size (>= max out_counts in the batch).
-    Positions past out_counts are zero. Garbage decode of padding bits is
-    harmless: termination is by count, like the reference. Two jit stages,
-    device-resident in between (see decode_stage1)."""
+    Positions past out_counts are unspecified on the TPU path (zero on the
+    XLA path) — termination is by count, like the reference (d.c:530).
+    max_len: the batch's max code bit length (picks the FSM state count on
+    the TPU path). Platform dispatch like the encode kernels: FSM scan +
+    Pallas emission on TPU, pointer-doubling gathers elsewhere."""
+    from .dispatch import pallas_interpret, use_pallas_emit
     ln, sym = _stage1_jit(payload, tables)
+    if use_pallas_emit():
+        s_states = 8 if max_len <= 8 else (16 if max_len <= 16 else 32)
+        stride_bytes = max(out_p, 512)
+        rows, under = _stage2_scan_jit(
+            ln, sym, payload_lens, out_counts,
+            stride_words=stride_bytes // 4, s_states=s_states,
+            interpret=pallas_interpret())
+        return rows[:, :out_p], under
     return _stage2_jit(ln, sym, payload_lens, out_counts, out_p=out_p)
 
 

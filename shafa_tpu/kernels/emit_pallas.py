@@ -404,6 +404,12 @@ def emit_coded_rows(x: jnp.ndarray, row_lens: jnp.ndarray,
         .reshape(b, 4 * stride_words)
 
 
+def aligned_offsets_device(out_bytes: int) -> int:
+    """Static out_words for a single-row flat emission of out_bytes."""
+    words = (out_bytes + 3) // 4
+    return -(-words // 128) * 128 + 2 * PAGE
+
+
 def aligned_offsets(byte_lens, align: int = 512):
     """Host helper: 512 B-aligned row start offsets for back-to-back layout.
 

@@ -156,29 +156,39 @@ def rle_encode_batch(x: jnp.ndarray, lengths: jnp.ndarray):
 def _token_starts(xi: jnp.ndarray) -> jnp.ndarray:
     """Token-start mask per row: orbit of 0 under i -> i + (3 if 0x00 else 1).
 
-    Pointer doubling over a flattened per-row jump table (absorbing state at
-    each row's end), then a scatter-max marks visited positions.
+    Formulated as a 3-state FSM scan instead of pointer doubling: the state
+    before byte i is "escape-payload bytes still pending" in {0, 1, 2}; a
+    byte seen in state 0 is a token start (and an 0x00 start pends 2 payload
+    bytes). Per-byte transitions are functions {0,1,2}->{0,1,2}; composition
+    is associative and, encoded as a 3-vector of next-states, costs a few
+    selects — so lax.associative_scan runs the whole history-dependent
+    tokenization in log2(P) ELEMENTWISE rounds (bandwidth-bound), where the
+    old pointer-doubling's strided gathers serialized on TPU (~35 Melem/s
+    measured on v5e — minutes at 8 MiB blocks).
     """
     b, p = xi.shape
-    pos = jax.lax.broadcasted_iota(jnp.int32, (b, p), 1)
-    step = jnp.where(xi == 0, 3, 1)
-    nxt = jnp.minimum(pos + step, p)  # local jump, absorbing at p
-    base = (jnp.arange(b, dtype=jnp.int32) * (p + 1))[:, None]
-    jump_flat = jnp.concatenate([base + nxt, base + p], axis=1).ravel()
+    esc = xi == 0
+    # transition f = (f(0), f(1), f(2)): state 0 -> 2 if escape else 0;
+    # state 1 -> 0; state 2 -> 1 (countdown)
+    f0 = jnp.where(esc, 2, 0).astype(jnp.int8)
+    f1 = jnp.zeros_like(f0)
+    f2 = jnp.ones_like(f0)
 
-    posn = base  # (b, 1): local position 0 of every row
-    stride = jump_flat
-    m = 1
-    while m < p:
-        posn = jnp.concatenate([posn, stride[posn]], axis=1)
-        stride = stride[stride]
-        m *= 2
-    local = posn - base  # (b, >=p); p == absorbed (past end)
-    flat = jnp.where(local < p,
-                     (jnp.arange(b, dtype=jnp.int32) * p)[:, None] + local,
-                     b * p).ravel()
-    mask = jnp.zeros(b * p, jnp.int32).at[flat].max(1, mode="drop")
-    return mask.reshape(b, p).astype(bool)
+    def compose(a, c):
+        # (a then c): out(s) = c(a(s)); scan order left-to-right
+        a0, a1, a2 = a
+        c0, c1, c2 = c
+
+        def sel(s):
+            return jnp.where(s == 0, c0, jnp.where(s == 1, c1, c2)) \
+                .astype(jnp.int8)
+
+        return sel(a0), sel(a1), sel(a2)
+
+    s0, _, _ = jax.lax.associative_scan(compose, (f0, f1, f2), axis=1)
+    # state BEFORE byte i = composed transition of bytes [0, i) applied to 0
+    state_before = jnp.pad(s0[:, :-1], ((0, 0), (1, 0)))
+    return state_before == 0
 
 
 def _token_fields(x: jnp.ndarray, lengths: jnp.ndarray):

@@ -1,0 +1,89 @@
+"""FSM-scan decode stage2 (TPU production path) vs the numpy oracle.
+
+Runs the Pallas-emission decode path on CPU via interpret mode (dispatch
+monkeypatched), differential against oracle.unpack — multi-row, ragged
+counts, skewed tables (16/32-state FSM), and underrun detection.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from shafa_tpu import codes as codes_mod, oracle
+from shafa_tpu.device import _bucket, _stack_blocks
+from shafa_tpu.kernels import decode as kdecode
+from shafa_tpu.kernels import dispatch
+
+
+@pytest.fixture(autouse=True)
+def force_pallas(monkeypatch):
+    monkeypatch.setattr(dispatch, "use_pallas_emit", lambda: True)
+    monkeypatch.setattr(dispatch, "pallas_interpret", lambda: True)
+
+
+def _archive(blocks):
+    hists = np.stack([oracle.histogram(b) for b in blocks])
+    tables = codes_mod.build_code_tables(hists)
+    payloads = [oracle.pack(b, tables.lens[i], tables.vals[i])
+                for i, b in enumerate(blocks)]
+    return tables, payloads
+
+
+def _decode(payloads, tables, counts):
+    pblocks = [np.frombuffer(p, np.uint8) for p in payloads]
+    stacked, plens = _stack_blocks(pblocks)
+    tab = kdecode.decode_tables_batch(tables.lens, tables.vals)
+    out_p = _bucket(int(max(counts)))
+    ml = int(tables.lens.max())
+    out, under = kdecode.decode_batch(
+        jnp.asarray(stacked), jnp.asarray(plens), tab,
+        jnp.asarray(np.array(counts, np.int32)), out_p, max_len=ml)
+    return np.asarray(out), np.asarray(under)
+
+
+def test_scan_decode_mixed_rows():
+    rng = np.random.default_rng(41)
+    blocks = [
+        rng.integers(0, 256, 3000, dtype=np.uint8),            # broad
+        np.repeat(rng.integers(0, 5, 700), 3).astype(np.uint8)[:2000],
+        rng.integers(97, 102, 1500).astype(np.uint8),          # tiny alphabet
+    ]
+    tables, payloads = _archive(blocks)
+    counts = [b.size for b in blocks]
+    out, under = _decode(payloads, tables, counts)
+    assert not under.any()
+    for i, b in enumerate(blocks):
+        np.testing.assert_array_equal(out[i, :counts[i]], b,
+                                      err_msg=f"row {i}")
+
+
+def test_scan_decode_skewed_long_codes():
+    # geometric-ish skew drives code lengths past 8 and 16 bits
+    rng = np.random.default_rng(42)
+    parts = [np.full(1 << max(0, 12 - s), s, np.uint8) for s in range(40)]
+    b0 = np.concatenate(parts)
+    rng.shuffle(b0)
+    tables, payloads = _archive([b0])
+    assert int(tables.lens.max()) > 8  # exercise >8-state FSM
+    out, under = _decode(payloads, tables, [b0.size])
+    assert not under.any()
+    np.testing.assert_array_equal(out[0, :b0.size], b0)
+
+
+def test_scan_decode_partial_count():
+    rng = np.random.default_rng(43)
+    b0 = rng.integers(0, 256, 2048, dtype=np.uint8)
+    tables, payloads = _archive([b0])
+    out, under = _decode(payloads, tables, [1000])  # fewer than available
+    assert not under.any()
+    np.testing.assert_array_equal(out[0, :1000], b0[:1000])
+
+
+def test_scan_decode_underrun_flag():
+    rng = np.random.default_rng(44)
+    b0 = rng.integers(0, 256, 2048, dtype=np.uint8)
+    tables, payloads = _archive([b0])
+    truncated = payloads[0][: len(payloads[0]) // 2]
+    out, under = _decode([truncated], tables, [b0.size])
+    assert bool(under[0])
