@@ -1,0 +1,149 @@
+"""Decode-chain microbenchmark: where do the 27 s of device decode go?
+
+Times each stage of the decode path (stage1 rank, stage2 FSM scan + Pallas
+emission, RLE expand sizes, expand compact) plus targeted microbenches
+(gather rate, FSM scan alone) with device-resident inputs. Run on the real
+chip:
+
+    python bench_decode_stages.py [total_bytes] [block_bytes]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 64 << 20
+BLOCK = int(sys.argv[2]) if len(sys.argv) > 2 else 8 << 20
+REPS = int(os.environ.get("SHAFA_BENCH_REPS", 3))
+
+
+def synthetic(n: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    parts, total = [], 0
+    while total < n:
+        kind = rng.integers(0, 3)
+        ln = int(rng.integers(2000, 60000))
+        if kind == 0:
+            parts.append(np.full(ln, rng.integers(0, 256), np.uint8))
+        elif kind == 1:
+            parts.append(rng.integers(32, 127, ln).astype(np.uint8))
+        else:
+            parts.append(rng.integers(0, 256, ln).astype(np.uint8))
+        total += ln
+    return np.concatenate(parts)[:n]
+
+
+def timeit(name: str, fn, nbytes: int, reps: int = REPS):
+    import jax
+
+    def force(out):
+        jax.block_until_ready(out)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf[(0,) * leaf.ndim])
+
+    t0 = time.perf_counter()
+    force(fn())  # warm/compile
+    tc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        force(fn())
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{name:28s} {dt * 1e3:9.2f} ms   {nbytes / dt / 1e9:8.2f} GB/s"
+          f"   (compile+first {tc:.1f}s)", flush=True)
+    return dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from shafa_tpu import codes as codes_mod
+    from shafa_tpu.device import _bucket, _dl_bucket, _stack_blocks
+    from shafa_tpu.kernels import decode as kdecode
+    from shafa_tpu.kernels import histogram as khist
+    from shafa_tpu.kernels import pack as kpack
+    from shafa_tpu.kernels import rle as krle
+
+    print(f"devices: {jax.devices()}", flush=True)
+    raw = synthetic(SIZE)
+    blocks = [raw[i:i + BLOCK] for i in range(0, SIZE, BLOCK)]
+    stacked, lens = _stack_blocks(blocks)
+    b, p = stacked.shape
+    print(f"batch: {b} blocks x {p} bytes padded ({SIZE / 1e6:.0f} MB)",
+          flush=True)
+
+    # --- gather-rate microbench (calibrates the searchsorted cost model) ---
+    n = 1 << 24
+    idx = jnp.asarray(np.random.default_rng(1).integers(0, n, n, np.int32))
+    src = jnp.asarray(np.random.default_rng(2).integers(0, 255, n, np.int32))
+    g = jax.jit(lambda s, i: s[i])
+    timeit("gather 16M random", lambda: g(src, idx), 4 * n)
+
+    # --- build the decode inputs with the host oracle-free encode chain ----
+    x = jax.block_until_ready(jnp.asarray(stacked))
+    ld = jnp.asarray(lens)
+    enc, enc_len = krle.rle_encode_batch(x, ld)
+    jax.block_until_ready(enc)
+    hist = np.asarray(khist.histogram_batch(enc, enc_len)).astype(np.int64)
+    tables = codes_mod.build_code_tables(hist)
+    max_len = int(tables.lens.max())
+    print(f"max code len: {max_len}", flush=True)
+    cl = jnp.asarray(tables.lens.astype(np.int32))
+    cv = jnp.asarray((tables.vals >> np.uint64(32)).astype(np.uint32))
+    packed, plen = kpack.pack_batch(enc, enc_len, cl, cv)
+    jax.block_until_ready(packed)
+    plen_np = np.asarray(plen)
+    packed_bytes = int(plen_np.sum())
+    enc_bytes = int(np.asarray(enc_len).sum())
+    print(f"rle {enc_bytes / 1e6:.1f} MB -> packed {packed_bytes / 1e6:.1f} MB",
+          flush=True)
+
+    payloads = [np.asarray(packed[i, :plen_np[i]]) for i in range(b)]
+    pstacked, plens2 = _stack_blocks(payloads)
+    py = jax.block_until_ready(jnp.asarray(pstacked))
+    pl2 = jnp.asarray(plens2)
+    counts = np.asarray(enc_len, np.int32)
+    ctsj = jnp.asarray(counts)
+    tab = kdecode.decode_tables_batch(tables.lens, tables.vals)
+    tabj = {k: jax.block_until_ready(jnp.asarray(v)) for k, v in tab.items()}
+    out_p = _bucket(int(counts.max()))
+
+    # --- decode stage1: per-bit rank --------------------------------------
+    timeit("decode_stage1", lambda: kdecode._stage1_jit(py, tabj),
+           packed_bytes)
+    ln_, sym_ = kdecode._stage1_jit(py, tabj)
+    jax.block_until_ready(ln_)
+
+    # --- decode stage2 scan at both state counts ---------------------------
+    s_real = 8 if max_len <= 8 else (16 if max_len <= 16 else 32)
+    stride_bytes = max(out_p, 512)
+    for s in sorted({s_real, 32}):
+        timeit(f"decode_stage2_scan S={s}",
+               lambda s=s: kdecode._stage2_scan_jit(
+                   ln_, sym_, pl2, ctsj,
+                   stride_words=stride_bytes // 4, s_states=s),
+               enc_bytes)
+    dec, _ = kdecode._stage2_scan_jit(ln_, sym_, pl2, ctsj,
+                                      stride_words=stride_bytes // 4,
+                                      s_states=s_real)
+    dec = dec[:, :out_p]
+    jax.block_until_ready(dec)
+
+    # --- RLE expand --------------------------------------------------------
+    timeit("expand_sizes", lambda: krle.rle_expand_sizes(dec, ctsj),
+           enc_bytes)
+    sizes = np.asarray(krle.rle_expand_sizes(dec, ctsj))
+    total = int(sizes.sum())
+    print(f"expanded: {total / 1e6:.1f} MB", flush=True)
+    timeit("rle_expand_compact",
+           lambda: krle.rle_expand_compact(dec, ctsj,
+                                           out_sz=_dl_bucket(total)),
+           total)
+
+
+if __name__ == "__main__":
+    main()
