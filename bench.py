@@ -246,7 +246,8 @@ def device_decode_seconds(data: bytes) -> tuple[float, int]:
             sizes = np.asarray(sizes_dev).copy()
             sizes[nb:] = 0
             flat = krle.rle_expand_compact(
-                dec, cts, out_sz=_dl_bucket(int(sizes.sum())))
+                dec, cts, out_sz=_dl_bucket(int(sizes.sum())),
+                out_p=_bucket(int(max(sizes.max(), 1)), minimum=2048))
             outs.append(flat)
         device_sync(outs)
         return outs

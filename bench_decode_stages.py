@@ -76,12 +76,8 @@ def main():
     print(f"batch: {b} blocks x {p} bytes padded ({SIZE / 1e6:.0f} MB)",
           flush=True)
 
-    # --- gather-rate microbench (calibrates the searchsorted cost model) ---
-    n = 1 << 24
-    idx = jnp.asarray(np.random.default_rng(1).integers(0, n, n, np.int32))
-    src = jnp.asarray(np.random.default_rng(2).integers(0, 255, n, np.int32))
-    g = jax.jit(lambda s, i: s[i])
-    timeit("gather 16M random", lambda: g(src, idx), 4 * n)
+    # (gather rate measured once: 16M random i32 gathers = 202 ms = 83
+    # Melem/s on v5e — the per-output-byte searchsorted emission's cost model)
 
     # --- build the decode inputs with the host oracle-free encode chain ----
     x = jax.block_until_ready(jnp.asarray(stacked))
@@ -92,17 +88,23 @@ def main():
     tables = codes_mod.build_code_tables(hist)
     max_len = int(tables.lens.max())
     print(f"max code len: {max_len}", flush=True)
-    cl = jnp.asarray(tables.lens.astype(np.int32))
-    cv = jnp.asarray((tables.vals >> np.uint64(32)).astype(np.uint32))
-    packed, plen = kpack.pack_batch(enc, enc_len, cl, cv)
-    jax.block_until_ready(packed)
-    plen_np = np.asarray(plen)
+    cl = tables.lens.astype(np.int32)
+    cv = (tables.vals >> np.uint64(32)).astype(np.uint32)
+    # flat pack (the fused path's layout; the rows layout OOMs at (8, 16M))
+    from shafa_tpu.kernels import emit_pallas as kemit
+    byte_lens = kpack.pack_byte_lens(hist, cl)
+    woff, need = kemit.aligned_offsets(byte_lens)
+    out_words = _dl_bucket(4 * need) // 4
+    flat = np.asarray(kpack.pack_batch_pallas(
+        enc, enc_len, cl, cv, out_words, woff)).ravel().view(np.uint8)
+    plen_np = byte_lens
     packed_bytes = int(plen_np.sum())
     enc_bytes = int(np.asarray(enc_len).sum())
     print(f"rle {enc_bytes / 1e6:.1f} MB -> packed {packed_bytes / 1e6:.1f} MB",
           flush=True)
 
-    payloads = [np.asarray(packed[i, :plen_np[i]]) for i in range(b)]
+    payloads = [flat[4 * int(woff[i]): 4 * int(woff[i]) + int(plen_np[i])]
+                for i in range(b)]
     pstacked, plens2 = _stack_blocks(payloads)
     py = jax.block_until_ready(jnp.asarray(pstacked))
     pl2 = jnp.asarray(plens2)
@@ -139,10 +141,24 @@ def main():
     sizes = np.asarray(krle.rle_expand_sizes(dec, ctsj))
     total = int(sizes.sum())
     print(f"expanded: {total / 1e6:.1f} MB", flush=True)
-    timeit("rle_expand_compact",
-           lambda: krle.rle_expand_compact(dec, ctsj,
-                                           out_sz=_dl_bucket(total)),
-           total)
+    ex_p = _bucket(int(sizes.max()), minimum=2048)
+    from shafa_tpu.kernels.expand_pallas import rle_expand_pages
+    timeit("expand_pages (pallas)",
+           lambda: rle_expand_pages(dec, ctsj, ex_p), total)
+    timeit("expand_compact (pallas)",
+           lambda: krle.rle_expand_compact_pallas(
+               dec, ctsj, _dl_bucket(total), ex_p), total)
+    # correctness spot-check vs the XLA formulation on a slice
+    a = np.asarray(krle.rle_expand_compact_pallas(
+        dec, ctsj, _dl_bucket(total), ex_p))[:total]
+    bx = np.asarray(krle.rle_expand_compact_xla(
+        dec, ctsj, _dl_bucket(total)))[:total]
+    print(f"pallas-vs-xla expand identical: {np.array_equal(a, bx)}",
+          flush=True)
+    if os.environ.get("SHAFA_BENCH_XLA_EXPAND", "0") != "0":
+        timeit("rle_expand_compact (xla)",
+               lambda: krle.rle_expand_compact_xla(
+                   dec, ctsj, out_sz=_dl_bucket(total)), total)
 
 
 if __name__ == "__main__":

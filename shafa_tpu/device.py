@@ -567,8 +567,8 @@ class JaxBackend:
                 sizes[nb:] = 0
                 total = int(sizes.sum())
                 flat = np.asarray(krle.rle_expand_compact(
-                    dec, jnp.asarray(counts),
-                    out_sz=_dl_bucket(total)))[:total]
+                    dec, jnp.asarray(counts), out_sz=_dl_bucket(total),
+                    out_p=_bucket(int(sizes.max()), minimum=2048)))[:total]
                 out_rows = _split_rows(flat, sizes[:nb])
             else:
                 cts = counts.copy()

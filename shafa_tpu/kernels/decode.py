@@ -422,10 +422,19 @@ def decode_stage2_scan(ln: jnp.ndarray, sym: jnp.ndarray,
 
     val1, len1 = pack4(syms, 0)
     val2, len2 = pack4(syms, 4)
+
     # interleave to (B, 2P) byte-lane order: lane 2j = first 4 syms of
-    # byte j, lane 2j+1 = the rest
-    vals = jnp.stack([val1, val2], axis=2).reshape(b, 2 * p)
-    lens = jnp.stack([len1, len2], axis=2).reshape(b, 2 * p)
+    # byte j, lane 2j+1 = the rest. Built with interior-padded lax.pad —
+    # a stack(axis=2).reshape materializes a (B, P, 2) array whose minor
+    # dim tiles 2 -> 128 on TPU (64x HBM blowup: 32 GiB at (8, 8 MiB),
+    # observed compile-time OOM).
+    def interleave(a, c):
+        da = jax.lax.pad(a, jnp.zeros((), a.dtype), ((0, 0, 0), (0, 1, 1)))
+        dc = jax.lax.pad(c, jnp.zeros((), c.dtype), ((0, 0, 0), (1, 0, 1)))
+        return da | dc
+
+    vals = interleave(val1, val2)
+    lens = interleave(len1, len2)
     rows = emit_bits_rows(vals, lens, 2 * payload_lens, stride_words,
                           interpret=interpret)
     return rows, underrun

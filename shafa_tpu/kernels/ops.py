@@ -118,15 +118,32 @@ def compact_rows_pallas(rows: jnp.ndarray, lens: jnp.ndarray, out_sz: int,
     """compact_rows via the Pallas emission kernel: one lane per 4 source
     bytes (32-bit payload), so compaction runs at the emitter's word rate
     instead of byte-probing gathers."""
-    from .emit_pallas import aligned_offsets_device, emit_bits
     b, q = rows.shape
     if q % 4:
         rows = jnp.pad(rows, ((0, 0), (0, (-q) % 4)))
         q = rows.shape[1]
-    lens = lens.astype(jnp.int32)
     words = _byteswap32(jax.lax.bitcast_convert_type(
         rows.reshape(b, q // 4, 4), jnp.uint32))
-    lane = jax.lax.broadcasted_iota(jnp.int32, (b, q // 4), 1)
+    return compact_words_pallas(words, lens, out_sz, interpret=interpret,
+                                msb_first=True)
+
+
+def compact_words_pallas(words: jnp.ndarray, lens: jnp.ndarray, out_sz: int,
+                         interpret: bool = False, msb_first: bool = False):
+    """Concatenate per-row byte streams given in u32-WORD lanes.
+
+    words (B, Q) u32: row r's byte stream is its word lanes in order —
+    little-endian byte order unless msb_first (i.e. lane j holds bytes
+    4j..4j+3). lens (B,) true byte lengths. Returns (out_sz,) uint8 with
+    rows back-to-back (out_sz >= lens.sum(), bucketed). This is the word-
+    layout sibling of compact_rows_pallas — the run-expansion kernel's
+    pages feed it directly, with no (B, P)-byte intermediate."""
+    from .emit_pallas import aligned_offsets_device, emit_bits
+    b, q = words.shape
+    if not msb_first:
+        words = _byteswap32(words.astype(jnp.uint32))
+    lens = lens.astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, q), 1)
     rem = jnp.clip(lens[:, None] - lane * 4, 0, 4)
     bits = 8 * rem
     mask = jnp.where(
@@ -135,10 +152,10 @@ def compact_rows_pallas(rows: jnp.ndarray, lens: jnp.ndarray, out_sz: int,
     # rows laid back-to-back: row r starts at the exact byte offset
     # cumsum(lens)[r-1] — NOT 512-aligned, so the per-row woff trick can't
     # apply; instead emit everything as ONE logical row: a single row of
-    # B*(Q/4) lanes whose invalid lanes carry 0 bits.
-    flat_val = (words & mask).reshape(1, b * (q // 4))
-    flat_bits = bits.reshape(1, b * (q // 4))
-    n_lanes = jnp.array([b * (q // 4)], jnp.int32)
+    # B*Q lanes whose invalid lanes carry 0 bits.
+    flat_val = (words.astype(jnp.uint32) & mask).reshape(1, b * q)
+    flat_bits = bits.reshape(1, b * q)
+    n_lanes = jnp.array([b * q], jnp.int32)
     woff = jnp.zeros(1, jnp.int32)
     out_words = aligned_offsets_device(out_sz)
     flat = emit_bits(flat_val, flat_bits, n_lanes, woff,

@@ -241,10 +241,12 @@ def rle_expand_batch(x: jnp.ndarray, lengths: jnp.ndarray, out_p: int):
 
 
 @functools.partial(jax.jit, static_argnames=("out_sz",))
-def rle_expand_compact(x: jnp.ndarray, lengths: jnp.ndarray, out_sz: int):
-    """Fused expand + row compaction: all rows' decompressed bytes
-    concatenated in order into one (out_sz,) uint8 buffer (the exact bytes
-    the host writes), skipping the (B, out_p) padded intermediate."""
+def rle_expand_compact_xla(x: jnp.ndarray, lengths: jnp.ndarray, out_sz: int):
+    """Gather-formulated expand + compaction (CPU path; see dispatcher).
+
+    Output-centric: every output byte binary-searches its row, then its
+    emitting token — ~23 gather probes per byte, which serializes on real
+    TPU (83 Melem/s measured: the whole of BENCH_r03's 27 s decode)."""
     b, p = x.shape
     _, sym, cnt = _token_fields(x, lengths)
     cum = jnp.cumsum(cnt, axis=1)
@@ -262,3 +264,33 @@ def rle_expand_compact(x: jnp.ndarray, lengths: jnp.ndarray, out_sz: int):
         return jnp.where(pos < bounds[b - 1], byte, 0).astype(jnp.uint8)
 
     return map_query_chunks(emit, out_sz)
+
+
+@functools.partial(jax.jit, static_argnames=("out_sz", "out_p", "interpret"))
+def rle_expand_compact_pallas(x: jnp.ndarray, lengths: jnp.ndarray,
+                              out_sz: int, out_p: int,
+                              interpret: bool = False):
+    """Expand via the page kernel + word-lane compaction (production TPU
+    path — no gathers; see kernels/expand_pallas.py). out_p: static padded
+    per-row output bound (bytes, multiple of 2048)."""
+    from .expand_pallas import rle_expand_pages
+    from .ops import compact_words_pallas
+    pages, out_len = rle_expand_pages(x, lengths, out_p, interpret=interpret)
+    return compact_words_pallas(pages, out_len, out_sz, interpret=interpret)
+
+
+def rle_expand_compact(x: jnp.ndarray, lengths: jnp.ndarray, out_sz: int,
+                       out_p: int | None = None):
+    """Fused expand + row compaction: all rows' decompressed bytes
+    concatenated in order into one (out_sz,) uint8 buffer (the exact bytes
+    the host writes), skipping the (B, out_p) padded byte intermediate.
+
+    Platform-dispatched: the Pallas page-expansion kernel on TPU (callers
+    must pass out_p >= the largest decompressed row, a 2048-multiple),
+    XLA binary-search gathers elsewhere.
+    """
+    from .dispatch import pallas_interpret, use_pallas_emit
+    if use_pallas_emit() and out_p is not None:
+        return rle_expand_compact_pallas(x, lengths, out_sz, out_p,
+                                         interpret=pallas_interpret())
+    return rle_expand_compact_xla(x, lengths, out_sz)
