@@ -79,32 +79,22 @@ def main():
     # (gather rate measured once: 16M random i32 gathers = 202 ms = 83
     # Melem/s on v5e — the per-output-byte searchsorted emission's cost model)
 
-    # --- build the decode inputs with the host oracle-free encode chain ----
-    x = jax.block_until_ready(jnp.asarray(stacked))
-    ld = jnp.asarray(lens)
-    enc, enc_len = krle.rle_encode_batch(x, ld)
-    jax.block_until_ready(enc)
-    hist = np.asarray(khist.histogram_batch(enc, enc_len)).astype(np.int64)
+    # --- build the decode inputs on HOST (numpy oracle): skips ~25 min of
+    # encode-kernel compiles through the remote compile helper --------------
+    from shafa_tpu import oracle
+    enc_blocks = [oracle.rle_encode(blk) for blk in blocks]
+    hist = np.stack([oracle.histogram(e) for e in enc_blocks]).astype(np.int64)
     tables = codes_mod.build_code_tables(hist)
     max_len = int(tables.lens.max())
     print(f"max code len: {max_len}", flush=True)
-    cl = tables.lens.astype(np.int32)
-    cv = (tables.vals >> np.uint64(32)).astype(np.uint32)
-    # flat pack (the fused path's layout; the rows layout OOMs at (8, 16M))
-    from shafa_tpu.kernels import emit_pallas as kemit
-    byte_lens = kpack.pack_byte_lens(hist, cl)
-    woff, need = kemit.aligned_offsets(byte_lens)
-    out_words = _dl_bucket(4 * need) // 4
-    flat = np.asarray(kpack.pack_batch_pallas(
-        enc, enc_len, cl, cv, out_words, woff)).ravel().view(np.uint8)
-    plen_np = byte_lens
-    packed_bytes = int(plen_np.sum())
-    enc_bytes = int(np.asarray(enc_len).sum())
+    payloads = [np.frombuffer(
+        oracle.pack(e, tables.lens[i], tables.vals[i]), np.uint8)
+        for i, e in enumerate(enc_blocks)]
+    enc_len = np.array([e.size for e in enc_blocks], np.int32)
+    packed_bytes = sum(p.size for p in payloads)
+    enc_bytes = int(enc_len.sum())
     print(f"rle {enc_bytes / 1e6:.1f} MB -> packed {packed_bytes / 1e6:.1f} MB",
           flush=True)
-
-    payloads = [flat[4 * int(woff[i]): 4 * int(woff[i]) + int(plen_np[i])]
-                for i in range(b)]
     pstacked, plens2 = _stack_blocks(payloads)
     py = jax.block_until_ready(jnp.asarray(pstacked))
     pl2 = jnp.asarray(plens2)

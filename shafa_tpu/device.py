@@ -30,6 +30,7 @@ import functools
 import numpy as np
 
 from . import oracle
+from .errors import FileUnrecognizableError
 from .kernels import decode as kdecode
 from .kernels import histogram as khist
 from .kernels import ops as kops
@@ -65,6 +66,35 @@ def _row_bucket(n: int, cap: int) -> int:
 def _dl_bucket(n: int) -> int:
     return max(DOWNLOAD_BUCKET,
                -(-max(n, 1) // DOWNLOAD_BUCKET) * DOWNLOAD_BUCKET)
+
+
+def _kraft_complete(lens: np.ndarray) -> np.ndarray:
+    """(n, 256) code bit lengths -> (n,) bool: Kraft sum exactly 1.
+
+    The rank decoder (kernels/decode.py) ASSUMES a complete code set: every
+    window falls in exactly one code interval. Self-produced multi-symbol
+    tables are complete by construction (the split tree is full), but a
+    hand-edited .cod with gaps would decode silently wrong there — the
+    reference's trie walk fails loudly instead (NULL child, d.c:534).
+    Incomplete rows are routed to the trie-semantics oracle (slow_unpack)."""
+    ln = lens.astype(np.int64)
+    present = ln > 0
+    terms = np.where(present & (ln <= 32),
+                     np.int64(1) << (32 - np.clip(ln, 1, 32)), 0)
+    return (terms.sum(axis=1) == (np.int64(1) << 32)) \
+        & (ln.max(axis=1, initial=0) <= 32)
+
+
+def _slow_decode(payload, code_strings, out_count, expand: bool):
+    """Reference-trie-semantics decode for oracle-routed rows: fails loudly
+    on code-gap/underrun like the reference (d.c:534) instead of the rank
+    formulation's silent mis-decode."""
+    try:
+        dec = np.frombuffer(oracle.slow_unpack(payload, code_strings,
+                                               out_count), np.uint8)
+    except ValueError as e:
+        raise FileUnrecognizableError(str(e)) from e
+    return oracle.rle_expand(dec) if expand else dec
 
 
 def _stack_blocks(blocks, b_rows: int | None = None):
@@ -296,11 +326,15 @@ class JaxBackend:
         results: list[np.ndarray | None] = [None] * len(payloads)
         maxlen = tables.lens.max(axis=1)
         n_codes = (tables.lens > 0).sum(axis=1)
+        complete = _kraft_complete(tables.lens)
         fast_idx = []
         for i in range(len(payloads)):
             if i in tables.overflow or maxlen[i] > 32 or n_codes[i] == 0:
                 results[i] = oracle.unpack(payloads[i], tables.row_strings(i),
                                            out_counts[i])
+            elif not complete[i]:  # foreign .cod with gaps: trie semantics
+                results[i] = _slow_decode(payloads[i], tables.row_strings(i),
+                                          out_counts[i], expand=False)
             else:
                 fast_idx.append(i)
         if fast_idx:
@@ -317,7 +351,7 @@ class JaxBackend:
                     stacked[lo:hi], plens[lo:hi], sub_tab,
                     counts[lo:hi], out_p, max_len=ml)
                 if bool(underrun.any()):
-                    raise ValueError("compressed stream exhausted early")
+                    raise FileUnrecognizableError("compressed stream exhausted early")
                 for j in range(hi - lo):
                     i = fast_idx[lo + j]
                     results[i] = out[j, : out_counts[i]]
@@ -523,12 +557,16 @@ class JaxBackend:
         results: list[np.ndarray | None] = [None] * n_total
         maxlen = tables.lens.max(axis=1)
         n_codes = (tables.lens > 0).sum(axis=1)
+        complete = _kraft_complete(tables.lens)
         fast_idx = []
         for i in range(n_total):
             if i in tables.overflow or maxlen[i] > 32 or n_codes[i] == 0:
                 dec = oracle.unpack(payloads[i], tables.row_strings(i),
                                     out_counts[i])
                 results[i] = oracle.rle_expand(dec) if expand else dec
+            elif not complete[i]:  # foreign .cod with gaps: trie semantics
+                results[i] = _slow_decode(payloads[i], tables.row_strings(i),
+                                          out_counts[i], expand)
             else:
                 fast_idx.append(i)
         if not fast_idx:
@@ -561,7 +599,7 @@ class JaxBackend:
                                    out_p=out_p,
                                    max_len=int(maxlen[fast_idx].max()))
             if bool(np.asarray(underrun)[:nb].any()):
-                raise ValueError("compressed stream exhausted early")
+                raise FileUnrecognizableError("compressed stream exhausted early")
             if expand:
                 sizes = np.asarray(_expand_sizes_step()(dec, counts)).copy()
                 sizes[nb:] = 0

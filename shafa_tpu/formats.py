@@ -310,6 +310,53 @@ def read_shaf(path: str) -> list[bytes]:
         return list(iter_shaf_blocks(fp.read()))
 
 
+def iter_shaf_frames_file(fp: IO[bytes]) -> Iterator[bytes]:
+    """Incrementally yield .shaf payloads from an open file.
+
+    Streaming sibling of iter_shaf_blocks: only one frame (plus a small
+    header buffer) is resident at a time — the bounded-memory decode path's
+    reader (reference behavior: one block per loop iteration, d.c:694-763).
+    """
+    buf = b""
+
+    def fill(pattern, allow_edge):
+        # Grow buf until the pattern matches completely. A match ending at
+        # the buffer edge is ambiguous for patterns ending in digits (more
+        # digits could follow), so those re-read unless at EOF.
+        nonlocal buf
+        while True:
+            m = pattern.match(buf)
+            if m and (allow_edge or m.end() < len(buf)):
+                return m
+            more = fp.read(64)
+            if not more:
+                if m:
+                    return m
+                raise FileUnrecognizableError(".shaf frame header")
+            buf += more
+
+    m = fill(re.compile(rb"@(\d+)"), allow_edge=False)
+    n_blocks = int(m.group(1))
+    buf = buf[m.end():]
+    hdr = re.compile(rb"@(\d+)@")
+    for _ in range(n_blocks):
+        m = fill(hdr, allow_edge=True)
+        size = int(m.group(1))
+        buf = buf[m.end():]
+        if len(buf) < size:
+            rest = fp.read(size - len(buf))
+            if len(rest) != size - len(buf):
+                raise FileUnrecognizableError(".shaf truncated block")
+            payload = buf + rest
+            buf = b""
+        else:
+            payload = buf[:size]
+            buf = buf[size:]
+        yield payload
+    if buf or fp.read(1):
+        raise FileUnrecognizableError(".shaf trailing bytes")
+
+
 def parse_shaf_frames(data: bytes) -> list[bytes]:
     """All block payloads of a .shaf byte string (native frame scan when
     available; same result as list(iter_shaf_blocks(data)))."""

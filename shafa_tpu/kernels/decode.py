@@ -348,17 +348,52 @@ def _fsm_tables(ln8: jnp.ndarray, s_states: int) -> jnp.ndarray:
     return jnp.clip(q - 8, 0, s_states - 1).astype(jnp.int8)
 
 
-def _fsm_scan(f: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive composition scan over bytes: F[:, :, j] = f_0 o ... o f_j."""
-    s_states = f.shape[0]
+#: FSM chunk width (bytes): the associative_scan unrolls log2(chunk) select
+#: levels in the compile graph. Scanning the FULL row instead (log2(8 Mi) =
+#: 23 levels over (S, B, P) operands) OOM-kills the TPU compiler at
+#: (8, 8 MiB) batches; a lax.scan over chunks keeps the graph bounded while
+#: each step stays wide enough to saturate the VPU.
+FSM_CHUNK = 1 << 16
 
-    def compose(a, c):
+
+def _fsm_entries(f: jnp.ndarray) -> jnp.ndarray:
+    """Entry state BEFORE each byte, (B, P) int32, stream starting at 0.
+
+    f (S, B, P) int8: per-byte transition vectors. lax.scan over FSM_CHUNK
+    chunks; the carry is each row's entry state (a scalar per row — only
+    the orbit of state 0 is ever needed), resolved inside each chunk by an
+    associative composition scan."""
+    s_states, b, p = f.shape
+    c = min(FSM_CHUNK, p)
+    nch = p // c
+    fc = f.reshape(s_states, b, nch, c).transpose(2, 0, 1, 3)
+
+    def compose(a, g):
         out = jnp.zeros_like(a)
         for t in range(s_states):
-            out = jnp.where(a == t, c[t][None], out)
+            out = jnp.where(a == t, g[t][None], out)
         return out
 
-    return jax.lax.associative_scan(compose, f, axis=2)
+    def apply(fn, state):  # fn (S, B, C) or (S, B); state (B,) -> like fn[0]
+        out = jnp.zeros_like(fn[0])
+        st = state.reshape((b,) + (1,) * (fn.ndim - 2))
+        for t in range(s_states):
+            out = jnp.where(st == t, fn[t], out)
+        return out
+
+    ident = jnp.broadcast_to(
+        jnp.arange(s_states, dtype=f.dtype)[:, None, None], (s_states, b, 1))
+
+    def step(carry, fk):  # carry (B,) int32; fk (S, B, C)
+        loc = jax.lax.associative_scan(compose, fk, axis=2)  # inclusive
+        excl = jnp.concatenate([ident, loc[:, :, :-1]], axis=2)
+        entry = apply(excl, carry).astype(jnp.int32)         # (B, C)
+        new_carry = apply(loc[:, :, -1], carry).astype(jnp.int32)
+        return new_carry, entry
+
+    carry0 = jnp.zeros((b,), jnp.int32)
+    _, entries = jax.lax.scan(step, carry0, fc)
+    return entries.transpose(1, 0, 2).reshape(b, p)
 
 
 def decode_stage2_scan(ln: jnp.ndarray, sym: jnp.ndarray,
@@ -378,8 +413,7 @@ def decode_stage2_scan(ln: jnp.ndarray, sym: jnp.ndarray,
     sym8 = sym.reshape(b, 8, p)
 
     f = _fsm_tables(ln8, s_states)
-    fscan = _fsm_scan(f)
-    entry = jnp.pad(fscan[0, :, :-1], ((0, 0), (1, 0))).astype(jnp.int32)
+    entry = _fsm_entries(f)
 
     # replay boundaries within each byte (ordered by round)
     planes_ln = [ln8[:, k, :].astype(jnp.int32) for k in range(8)]

@@ -83,13 +83,21 @@ class _AtomicFile:
 class CheckedBackend:
     """--check mode: every device stage cross-verified against the numpy
     oracle (SURVEY.md §5.2 — races/kernels are designed out by jit purity;
-    this guards the remaining risk: kernel/fallback divergence)."""
+    this guards the remaining risk: kernel/fallback divergence).
 
-    supports_fused = False  # check the per-stage path, stage by stage
+    Covers BOTH dispatch tiers: the per-stage methods and the fused
+    device-resident chain (the path every real compress/decompress takes) —
+    fused_* calls delegate to the inner backend and compare each accessor's
+    results against the oracle run on the same blocks."""
 
     def __init__(self, inner: "Backend"):
         self.inner = inner
         self.oracle = NumpyBackend()
+        self._fused_blocks: dict[int, list[np.ndarray]] = {}
+
+    @property
+    def supports_fused(self) -> bool:
+        return getattr(self.inner, "supports_fused", False)
 
     def _cmp(self, stage, got, want):
         for i, (g, w) in enumerate(zip(got, want)):
@@ -122,6 +130,58 @@ class CheckedBackend:
     def rle_expand(self, blocks):
         return self._cmp("rle_expand", self.inner.rle_expand(blocks),
                          self.oracle.rle_expand(blocks))
+
+    # -- fused tier (device.py JaxBackend protocol) --------------------------
+
+    def fused_encode(self, blocks):
+        h = self.inner.fused_encode(blocks)
+        self._fused_blocks[id(h)] = list(blocks)
+        return h
+
+    def _oracle_rle(self, h):
+        return self.oracle.rle_encode(self._fused_blocks[id(h)])
+
+    def fused_rle_sizes(self, h):
+        want = [b.size for b in self._oracle_rle(h)]
+        got = self.inner.fused_rle_sizes(h)
+        self._cmp("fused_rle_sizes", [np.asarray(list(got))],
+                  [np.asarray(want)])
+        return got
+
+    def fused_rle_bytes(self, h):
+        want = np.concatenate(self._oracle_rle(h)) \
+            if self._fused_blocks[id(h)] else np.zeros(0, np.uint8)
+        got = self.inner.fused_rle_bytes(h)
+        self._cmp("fused_rle_bytes", [got], [want])
+        return got
+
+    def fused_rle_hists(self, h):
+        want = np.stack(self.oracle.histogram(self._oracle_rle(h)))
+        got = self.inner.fused_rle_hists(h)
+        self._cmp("fused_rle_hists", [np.asarray(got)], [want])
+        return got
+
+    def fused_raw_hists(self, h):
+        want = np.stack(self.oracle.histogram(self._fused_blocks[id(h)]))
+        got = self.inner.fused_raw_hists(h)
+        self._cmp("fused_raw_hists", [np.asarray(got)], [want])
+        return got
+
+    def fused_pack(self, h, tables, use_rle, host_row):
+        streams = self._oracle_rle(h) if use_rle else \
+            self._fused_blocks[id(h)]
+        want = self.oracle.pack(streams, tables)
+        return self._cmp("fused_pack",
+                         self.inner.fused_pack(h, tables, use_rle, host_row),
+                         want)
+
+    def fused_decode(self, payloads, tables, out_counts, expand):
+        dec = self.oracle.unpack(payloads, tables, out_counts)
+        want = self.oracle.rle_expand(dec) if expand else dec
+        return self._cmp(
+            "fused_decode",
+            self.inner.fused_decode(payloads, tables, out_counts, expand),
+            want)
 
 
 class NumpyBackend:
@@ -579,6 +639,11 @@ def module_d_shafa(path: str, rle_decompression: bool,
     # Mode legality (d.c:678): N forbids the RLE path; R allows both.
     if not ((mode == "N" and not rle_decompression) or mode == "R"):
         raise FileUnrecognizableError(".cod mode vs decompression type")
+    if (getattr(backend, "supports_fused", False) and os.path.isfile(path)
+            and os.path.getsize(path) > STREAM_THRESHOLD):
+        return _module_d_shafa_streaming(path, path_wrt, block_sizes,
+                                         tables, rle_decompression,
+                                         backend, t0)
     payloads = formats.parse_shaf_frames(_open_read(path))
     if len(payloads) != len(block_sizes):
         raise FileUnrecognizableError("block count mismatch .shaf vs .cod")
@@ -601,6 +666,72 @@ def module_d_shafa(path: str, rle_decompression: bool,
         runtime_ms=(time.perf_counter() - t0) * 1e3,
         generated=[path_wrt],
         extra={"algo": "shafa_rle" if rle_decompression else "shafa"},
+    )
+    return path_wrt, report
+
+
+def _module_d_shafa_streaming(path, path_wrt, block_sizes, tables,
+                              rle_decompression, backend, t0
+                              ) -> tuple[str, StageReport]:
+    """Bounded-RSS decode: one device batch of frames resident at a time.
+
+    Mirrors compress_pipeline_streaming for module D (the reference keeps
+    exactly one block resident, d.c:694-763): frames are read incrementally
+    (formats.iter_shaf_frames_file), decoded+expanded batch-wise, and
+    appended to the output file. Peak host RSS is one batch of payloads
+    plus its decoded output regardless of archive size — the 10/100 GiB
+    BASELINE configs decode without slurping the archive. Output bytes are
+    identical to the resident path (differential-tested)."""
+    from .device import MAX_BATCH_ELEMS, _bucket
+    n_blocks = len(block_sizes)
+    # batch sizing like fused_decode: decompressed counts bound the padded
+    # decode width (payloads are never larger than their decoded streams)
+    p = _bucket(max(block_sizes) if block_sizes else 1)
+    bsz = max(1, MAX_BATCH_ELEMS // (p * 8))
+    sizes_before: list[int] = []
+    sizes_after: list[int] = []
+    frames = None
+    try:
+        with open(path, "rb") as in_fp:
+            frames = formats.iter_shaf_frames_file(in_fp)
+            with _AtomicFile(path_wrt) as out_fp:
+                done = 0
+                while done < n_blocks:
+                    hi = min(done + bsz, n_blocks)
+                    payloads = []
+                    for _ in range(done, hi):
+                        try:
+                            payloads.append(next(frames))
+                        except StopIteration:
+                            raise FileUnrecognizableError(
+                                "block count mismatch .shaf vs .cod")
+                    sub = codes_mod.CodeTables(
+                        tables.lens[done:hi], tables.vals[done:hi],
+                        {i - done: v for i, v in tables.overflow.items()
+                         if done <= i < hi})
+                    out_blocks = backend.fused_decode(
+                        payloads, sub, block_sizes[done:hi],
+                        expand=rle_decompression)
+                    for b in out_blocks:
+                        out_fp.write(b.tobytes())
+                        sizes_after.append(b.size)
+                    sizes_before.extend(len(pay) for pay in payloads)
+                    done = hi
+                # archive must not have extra frames (iter raises on
+                # trailing bytes only when driven to exhaustion)
+                extra = next(frames, None)
+                if extra is not None:
+                    raise FileUnrecognizableError(
+                        "block count mismatch .shaf vs .cod")
+    except OSError as e:
+        raise FileInaccessibleError(str(e)) from e
+    report = StageReport(
+        module="d", n_blocks=n_blocks,
+        sizes_before=sizes_before, sizes_after=sizes_after,
+        runtime_ms=(time.perf_counter() - t0) * 1e3,
+        generated=[path_wrt],
+        extra={"algo": "shafa_rle" if rle_decompression else "shafa",
+               "streaming": True},
     )
     return path_wrt, report
 

@@ -60,6 +60,43 @@ def test_cli_roundtrip_with_check_and_json(tmp_path, capsys):
         assert fp.read() == data
 
 
+def test_check_covers_fused_production_path(tmp_path):
+    """--check with the jax backend exercises the FUSED chain (the path
+    every real compress/decompress takes), not only the per-stage tier."""
+    from shafa_tpu import pipeline
+    from shafa_tpu.device import JaxBackend
+    data = mixed(200_000, seed=35)
+    path = _write(tmp_path, "f.bin", data)
+    checked = pipeline.CheckedBackend(JaxBackend())
+    assert checked.supports_fused  # fused dispatch stays on under --check
+    shaf, _ = pipeline.compress_pipeline(path, False, False, 64 << 10,
+                                         checked)
+    os.rename(path, path + ".orig")
+    out, _ = pipeline.module_d_shafa(shaf, rle_decompression=".rle." in shaf,
+                                     backend=checked)
+    with open(out, "rb") as fp:
+        assert fp.read() == data
+
+
+def test_check_fused_catches_divergence(tmp_path):
+    """A backend whose fused tier lies must be caught by --check."""
+    from shafa_tpu import pipeline
+    from shafa_tpu.device import JaxBackend
+
+    class Lying(JaxBackend):
+        def fused_rle_sizes(self, h):
+            out = super().fused_rle_sizes(h).copy()
+            if out.size:
+                out[0] += 1
+            return out
+
+    data = mixed(90_000, seed=36)
+    path = _write(tmp_path, "f.bin", data)
+    with pytest.raises(AssertionError, match="fused_rle_sizes"):
+        pipeline.compress_pipeline(path, False, False, 64 << 10,
+                                   pipeline.CheckedBackend(Lying()))
+
+
 def test_no_multithread_identical_archive(tmp_path):
     data = mixed(120_000, seed=32)
     a = _write(tmp_path, "a.bin", data)

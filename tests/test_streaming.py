@@ -58,6 +58,56 @@ def test_streaming_matches_resident(tmp_path, monkeypatch, seed, size,
         assert fp.read() == data
 
 
+@pytest.mark.parametrize("seed,size,rle", [
+    (41, 700_000, True),         # R mode: decode + expand, ragged tail
+    (42, 512 * 1024, True),      # exact block multiple
+])
+def test_streaming_decode_matches_resident(tmp_path, monkeypatch, seed,
+                                           size, rle):
+    data = mixed(size, seed=seed)
+    p = _write(tmp_path, "data.bin", data)
+    backend = JaxBackend()
+    shaf, _ = pipeline.compress_pipeline(p, rle, False, 64 << 10, backend)
+    os.rename(p, p + ".orig")
+
+    # resident decode
+    monkeypatch.setattr(pipeline, "STREAM_THRESHOLD", 1 << 60)
+    out, rep = pipeline.module_d_shafa(shaf, rle_decompression=rle,
+                                       backend=backend)
+    assert "streaming" not in rep.extra
+    with open(out, "rb") as fp:
+        assert fp.read() == data
+    os.unlink(out)
+
+    # streaming decode (threshold forced below the archive size; batch
+    # size shrunk so the loop really iterates)
+    from shafa_tpu import device
+    monkeypatch.setattr(pipeline, "STREAM_THRESHOLD", 1024)
+    monkeypatch.setattr(device, "MAX_BATCH_ELEMS", (64 << 10) * 8 * 2)
+    out2, rep2 = pipeline.module_d_shafa(shaf, rle_decompression=rle,
+                                         backend=backend)
+    assert rep2.extra.get("streaming") is True
+    assert rep2.sizes_after == rep.sizes_after
+    with open(out2, "rb") as fp:
+        assert fp.read() == data
+
+
+def test_streaming_decode_frame_count_mismatch(tmp_path, monkeypatch):
+    data = mixed(300_000, seed=43)
+    p = _write(tmp_path, "data.bin", data)
+    backend = JaxBackend()
+    shaf, _ = pipeline.compress_pipeline(p, True, False, 64 << 10, backend)
+    os.rename(p, p + ".orig")
+    # append a forged extra frame: streaming decode must reject it
+    with open(shaf, "ab") as fp:
+        fp.write(b"@3@xyz")
+    monkeypatch.setattr(pipeline, "STREAM_THRESHOLD", 1024)
+    from shafa_tpu.errors import FileUnrecognizableError
+    with pytest.raises(FileUnrecognizableError):
+        pipeline.module_d_shafa(shaf, rle_decompression=True,
+                                backend=backend)
+
+
 def test_streaming_incompressible_n_mode(tmp_path, monkeypatch):
     rng = np.random.default_rng(33)
     data = rng.integers(0, 256, 300_000, dtype=np.uint8).tobytes()
