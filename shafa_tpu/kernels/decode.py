@@ -31,6 +31,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 N_GROUPS = 16
 GROUP = 16
@@ -308,154 +310,207 @@ def decode_stage2(ln: jnp.ndarray, sym: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# Stage 2 v2: FSM scan + Pallas emission (the TPU production chain stage)
+# Stage 2 v3: in-kernel FSM + replay (Pallas) + Pallas emission
 # ---------------------------------------------------------------------------
 #
 # The pointer-doubling stage2 above runs on XLA gathers, which serialize on
-# real TPU (~35 Melem/s measured on v5e — 45 s for a (2, 8 MiB) batch). The
-# v2 formulation has no gathers at all:
+# real TPU (~35 Melem/s measured on v5e — 45 s for a (2, 8 MiB) batch).
+# An XLA FSM formulation (per-byte transition tables + associative_scan)
+# replaced it in round 3, but measured catastrophically on-chip: building
+# the (S, B, P) transition tables alone ran at ~3 MB/s (375 s for a
+# (8, 8 MiB) batch — XLA lowers the unrolled int8 select chains poorly),
+# and the symbol-replay graph OOM-killed the TPU compiler. Stage 2 v3 puts
+# the whole chain INSIDE a Mosaic kernel where the working set lives in
+# VMEM and the select chains vectorize as written:
 #
 #   * the bit chain is a finite-state machine over BYTES: the state before
-#     byte j is "bits until the next symbol boundary" in [0, S) with
-#     S >= max code length; each byte's transition function (an S-vector of
-#     next-states) is built elementwise from the 8 per-bit code lengths of
-#     stage1 (8 unrolled countdown/reload rounds);
-#   * transitions compose associatively, so jax.lax.associative_scan
-#     resolves the whole history in log2(P) ELEMENTWISE rounds;
-#   * per byte, entry state -> up to 8 ordered boundary symbols (8 more
-#     elementwise replay rounds), packed into two <=32-bit lanes per byte;
+#     byte j is "bits until the next symbol boundary" in [0, S);
+#   * per byte, its transition function is "shift-or-exit": states s >= 8
+#     map to s - 8; states s < 8 exit through an 8-entry table E[b] (the
+#     chain from bit b to the byte end) built by a short backward
+#     recurrence over the 8 in-byte bit positions;
+#   * a Hillis-Steele composition scan over the tile's lanes (pltpu.roll
+#     by 1,2,4,... + S-way select per round) yields every byte's prefix
+#     function; applying the row's carried entry state (SMEM) gives the
+#     entry state of every byte in one more select pass;
+#   * replay: entry state -> up to 8 ordered boundary symbols (8 unrolled
+#     rounds over the bit planes), clipped by the running output count
+#     (carried in SMEM) and packed into two <=32-bit lanes per byte;
 #   * the Pallas emission kernel (emit_pallas.emit_bits_rows) concatenates
 #     the per-byte symbol packs into the decoded rows — termination by
-#     known output count (d.c:530) via an ordinal clip on the pack lengths.
+#     known output count (d.c:530).
+
+#: stage2 kernel tile width in payload bytes
+S2_TILE = 2048
 
 
-def _fsm_tables(ln8: jnp.ndarray, s_states: int) -> jnp.ndarray:
-    """Per-byte FSM transitions f (S, B, P) int8 from per-bit lens.
+def _stage2_kernel(plen_ref, cnt_ref, ln_ref, sym_ref,
+                   v1_ref, v2_ref, l1_ref, l2_ref, under_ref, smem,
+                   *, s_states, t_lanes):
+    """Grid (B, n_tiles). smem: [0]=entry state, [1]=emitted symbol count."""
+    r = pl.program_id(0)
+    t_idx = pl.program_id(1)
+    plen = plen_ref[r]
+    cnt = cnt_ref[r]
+    last_tile = jnp.maximum((plen + t_lanes - 1) // t_lanes - 1, 0)
 
-    ln8 (B, 8, P) int8: plane q = code length at bit 8j+q. f[s, b, j] =
-    state after consuming byte j entering with state s. 8 countdown/reload
-    rounds; garbage lens (padding bits) are clamped into range — only the
-    true chain's states matter downstream."""
-    b, _, p = ln8.shape
-    q = jnp.broadcast_to(
-        jnp.arange(s_states, dtype=jnp.int8)[:, None, None], (s_states, b, p))
-    planes = [ln8[:, k, :].astype(jnp.int8) for k in range(8)]
-    for _ in range(8):
-        ln_at = jnp.zeros_like(q)
-        for k in range(8):
-            ln_at = jnp.where(q == k, jnp.maximum(planes[k], 1), ln_at)
-        q = jnp.where(q < 8, q + ln_at, q)
-    return jnp.clip(q - 8, 0, s_states - 1).astype(jnp.int8)
+    @pl.when(t_idx == 0)
+    def _init():
+        smem[0] = 0
+        smem[1] = 0
 
+    @pl.when(t_idx <= last_tile)
+    def _body():
+        lnp = jnp.clip(ln_ref[:, 0, :].astype(jnp.int32), 1, s_states - 1)
+        symp = sym_ref[:, 0, :].astype(jnp.int32) & 255  # (8, T)
 
-#: FSM chunk width (bytes): the associative_scan unrolls log2(chunk) select
-#: levels in the compile graph. Scanning the FULL row instead (log2(8 Mi) =
-#: 23 levels over (S, B, P) operands) OOM-kills the TPU compiler at
-#: (8, 8 MiB) batches; a lax.scan over chunks keeps the graph bounded while
-#: each step stays wide enough to saturate the VPU.
-FSM_CHUNK = 1 << 16
+        # E[b] = state at byte end for a boundary at bit b (backward chain)
+        E = [None] * 8
+        for bit in range(7, -1, -1):
+            nb = bit + lnp[bit:bit + 1, :]
+            e = nb - 8
+            for c in range(bit + 1, 8):
+                e = jnp.where(nb == c, E[c], e)
+            E[bit] = jnp.clip(e, 0, s_states - 1)
 
+        # F0: per-byte function as a full S-vector (rows s>=8: s-8 const)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (s_states, t_lanes), 1)
+        consts = [jnp.full((1, t_lanes), s - 8, jnp.int32)
+                  for s in range(8, s_states)]
+        F = jnp.concatenate(E + consts, axis=0)  # (S, T)
 
-def _fsm_entries(f: jnp.ndarray) -> jnp.ndarray:
-    """Entry state BEFORE each byte, (B, P) int32, stream starting at 0.
+        # Hillis-Steele inclusive composition scan over lanes
+        k = 1
+        while k < t_lanes:
+            Fr = pltpu.roll(F, k, 1)  # F_{j-k} into lane j
+            sel = jnp.zeros_like(F)
+            for t in range(s_states):
+                sel = jnp.where(Fr == t,
+                                jnp.broadcast_to(F[t:t + 1, :],
+                                                 (s_states, t_lanes)), sel)
+            F = jnp.where(lane >= k, sel, F)
+            k *= 2
 
-    f (S, B, P) int8: per-byte transition vectors. lax.scan over FSM_CHUNK
-    chunks; the carry is each row's entry state (a scalar per row — only
-    the orbit of state 0 is ever needed), resolved inside each chunk by an
-    associative composition scan."""
-    s_states, b, p = f.shape
-    c = min(FSM_CHUNK, p)
-    nch = p // c
-    fc = f.reshape(s_states, b, nch, c).transpose(2, 0, 1, 3)
-
-    def compose(a, g):
-        out = jnp.zeros_like(a)
+        # orbit of the carried entry state
+        q0 = smem[0]
+        ap = jnp.zeros((1, t_lanes), jnp.int32)
         for t in range(s_states):
-            out = jnp.where(a == t, g[t][None], out)
-        return out
+            ap = jnp.where(q0 == t, F[t:t + 1, :], ap)
+        lane1 = lane[0:1, :]
+        entry = pltpu.roll(ap, 1, 1)
+        entry = jnp.where(lane1 == 0, q0, entry)
+        smem[0] = jnp.sum(jnp.where(lane1 == t_lanes - 1, ap, 0))
 
-    def apply(fn, state):  # fn (S, B, C) or (S, B); state (B,) -> like fn[0]
-        out = jnp.zeros_like(fn[0])
-        st = state.reshape((b,) + (1,) * (fn.ndim - 2))
-        for t in range(s_states):
-            out = jnp.where(st == t, fn[t], out)
-        return out
+        # replay: entry state -> ordered boundary symbols of the byte
+        q = entry
+        syms = []
+        for _ in range(8):
+            is_b = q < 8
+            s_at = jnp.zeros_like(q)
+            l_at = jnp.ones_like(q)
+            for kk in range(8):
+                hit = q == kk
+                s_at = jnp.where(hit, symp[kk:kk + 1, :], s_at)
+                l_at = jnp.where(hit, lnp[kk:kk + 1, :], l_at)
+            syms.append((is_b, s_at))
+            q = jnp.where(is_b, q + l_at, q)
+        nb = sum(m.astype(jnp.int32) for m, _ in syms)
 
-    ident = jnp.broadcast_to(
-        jnp.arange(s_states, dtype=f.dtype)[:, None, None], (s_states, b, 1))
+        # output-count clip with the carried cumulative symbol count
+        gpos = t_idx * t_lanes + lane1
+        nb = jnp.where(gpos < plen, nb, 0)
+        cum = smem[1] + _cumsum_1d(nb)
+        before = cum - nb
+        allowed = jnp.clip(cnt - before, 0, nb)
+        smem[1] = jnp.sum(jnp.where(lane1 == t_lanes - 1, cum, 0))
 
-    def step(carry, fk):  # carry (B,) int32; fk (S, B, C)
-        loc = jax.lax.associative_scan(compose, fk, axis=2)  # inclusive
-        excl = jnp.concatenate([ident, loc[:, :, :-1]], axis=2)
-        entry = apply(excl, carry).astype(jnp.int32)         # (B, C)
-        new_carry = apply(loc[:, :, -1], carry).astype(jnp.int32)
-        return new_carry, entry
+        def pack4(base):
+            val = jnp.zeros((1, t_lanes), jnp.uint32)
+            for i in range(4):
+                if base + i < 8:
+                    _, s_at = syms[base + i]
+                    val = val | (pltpu.bitcast(s_at, jnp.uint32)
+                                 << (24 - 8 * i))
+            n = jnp.clip(allowed - base, 0, 4)
+            bits = 8 * n
+            mask = jnp.where(
+                n > 0, (~jnp.uint32(0)) << pltpu.bitcast(
+                    32 - bits, jnp.uint32), jnp.uint32(0))
+            return pltpu.bitcast(val & mask, jnp.int32), bits
 
-    carry0 = jnp.zeros((b,), jnp.int32)
-    _, entries = jax.lax.scan(step, carry0, fc)
-    return entries.transpose(1, 0, 2).reshape(b, p)
+        v1_ref[...], l1_ref[...] = pack4(0)
+        v2_ref[...], l2_ref[...] = pack4(4)
+
+        @pl.when(t_idx == last_tile)
+        def _final():
+            total = jnp.sum(jnp.where(lane1 == t_lanes - 1, cum, 0))
+            under_ref[0, 0] = (total < cnt).astype(jnp.int32)
+
+
+def _cumsum_1d(x):
+    """Inclusive log-shift cumsum along lanes of a (1, T) int32 array."""
+    n = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    acc = x
+    s = 1
+    while s < n:
+        acc = acc + jnp.where(lane >= s, pltpu.roll(acc, s, 1),
+                              jnp.zeros_like(acc))
+        s *= 2
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("s_states", "interpret"))
+def _stage2_chain_pallas(ln: jnp.ndarray, sym: jnp.ndarray,
+                         payload_lens: jnp.ndarray, out_counts: jnp.ndarray,
+                         s_states: int, interpret: bool = False):
+    """Pallas FSM+replay: per-byte symbol packs (val1, val2, len1, len2)
+    each (B, P) int32, plus the underrun flag (B,) bool."""
+    b, nslots = ln.shape
+    p = nslots // 8
+    t = min(S2_TILE, p)
+    n_tiles = p // t
+    # plane-major (B, 8P) -> (8, B, P) int8 so each tile loads one
+    # (8, 1, T) block per array (i8 halves the kernel's input traffic)
+    ln8 = ln.reshape(b, 8, p).transpose(1, 0, 2).astype(jnp.int8)
+    sym8 = sym.reshape(b, 8, p).transpose(1, 0, 2).astype(jnp.int8)
+    kern = functools.partial(_stage2_kernel, s_states=s_states, t_lanes=t)
+    plane = pl.BlockSpec((8, 1, t), lambda r_, t_, *_: (0, r_, t_))
+    flat = pl.BlockSpec((1, t), lambda r_, t_, *_: (r_, t_))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # payload_lens, out_counts
+        grid=(b, n_tiles),
+        in_specs=[plane, plane],
+        out_specs=[flat, flat, flat, flat,
+                   pl.BlockSpec((1, 1), lambda r_, t_, *_: (r_, 0))],
+        scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+    )
+    shp = jax.ShapeDtypeStruct((b, p), jnp.int32)
+    v1, v2, l1, l2, under = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[shp, shp, shp, shp,
+                   jax.ShapeDtypeStruct((b, 1), jnp.int32)],
+        interpret=interpret,
+    )(payload_lens.astype(jnp.int32), out_counts.astype(jnp.int32),
+      ln8, sym8)
+    return v1, v2, l1, l2, under[:, 0] > 0
 
 
 def decode_stage2_scan(ln: jnp.ndarray, sym: jnp.ndarray,
                        payload_lens: jnp.ndarray, out_counts: jnp.ndarray,
                        stride_words: int, s_states: int,
                        interpret: bool = False):
-    """FSM-scan chain + Pallas emission: ((B, 4*stride_words) u8, underrun).
+    """In-kernel FSM chain + Pallas emission: ((B, 4*stride_words) u8,
+    underrun).
 
     ln/sym in stage1's plane-major slot order; s_states static >= the
     batch's max code length (callers pick 8/16/32 and route longer codes to
     the oracle). Row r's decoded bytes are out[r, :out_counts[r]]; bytes
     past that are unspecified."""
     from .emit_pallas import emit_bits_rows
-    b, nslots = ln.shape
-    p = nslots // 8
-    ln8 = ln.reshape(b, 8, p).astype(jnp.int8)
-    sym8 = sym.reshape(b, 8, p)
-
-    f = _fsm_tables(ln8, s_states)
-    entry = _fsm_entries(f)
-
-    # replay boundaries within each byte (ordered by round)
-    planes_ln = [ln8[:, k, :].astype(jnp.int32) for k in range(8)]
-    planes_sym = [sym8[:, k, :] for k in range(8)]
-    q = entry
-    syms = []
-    for _ in range(8):
-        is_b = q < 8
-        s_at = jnp.zeros_like(q)
-        l_at = jnp.ones_like(q)
-        for k in range(8):
-            hit = q == k
-            s_at = jnp.where(hit, planes_sym[k], s_at)
-            l_at = jnp.where(hit, jnp.maximum(planes_ln[k], 1), l_at)
-        syms.append((is_b, s_at))
-        q = jnp.where(is_b, q + l_at, q)
-    nb = sum(m.astype(jnp.int32) for m, _ in syms)
-
-    # output-count clip: allowed symbols for byte j given row's out_count
-    pos = jax.lax.broadcasted_iota(jnp.int32, (b, p), 1)
-    in_payload = pos < payload_lens[:, None]
-    nb = jnp.where(in_payload, nb, 0)
-    cum = jnp.cumsum(nb, axis=1)
-    before = cum - nb
-    allowed = jnp.clip(out_counts[:, None] - before, 0, nb)
-    underrun = cum[:, -1] < out_counts
-
-    def pack4(slots, base):
-        val = jnp.zeros((b, p), jnp.uint32)
-        for i in range(4):
-            if base + i < len(slots):
-                _, s_at = slots[base + i]
-                val = val | (s_at.astype(jnp.uint32) << (24 - 8 * i))
-        n = jnp.clip(allowed - base, 0, 4)
-        bits = 8 * n
-        mask = jnp.where(n > 0,
-                         (~jnp.uint32(0)) << (32 - bits).astype(jnp.uint32),
-                         jnp.uint32(0))
-        return val & mask, bits
-
-    val1, len1 = pack4(syms, 0)
-    val2, len2 = pack4(syms, 4)
+    val1, val2, len1, len2, underrun = _stage2_chain_pallas(
+        ln, sym, payload_lens, out_counts, s_states, interpret=interpret)
 
     # interleave to (B, 2P) byte-lane order: lane 2j = first 4 syms of
     # byte j, lane 2j+1 = the rest. Built with interior-padded lax.pad —
@@ -467,7 +522,7 @@ def decode_stage2_scan(ln: jnp.ndarray, sym: jnp.ndarray,
         dc = jax.lax.pad(c, jnp.zeros((), c.dtype), ((0, 0, 0), (1, 0, 1)))
         return da | dc
 
-    vals = interleave(val1, val2)
+    vals = jax.lax.bitcast_convert_type(interleave(val1, val2), jnp.uint32)
     lens = interleave(len1, len2)
     rows = emit_bits_rows(vals, lens, 2 * payload_lens, stride_words,
                           interpret=interpret)

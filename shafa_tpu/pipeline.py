@@ -308,6 +308,46 @@ def module_f(path: str, force_rle: bool, force_freq: bool, block_size: int,
 STREAM_THRESHOLD = int(os.environ.get("SHAFA_STREAM_THRESHOLD", 256 << 20))
 
 
+class _Overlap:
+    """Read-ahead + ordered write-behind around a streaming compute loop.
+
+    The reference's whole runtime layer exists to overlap block N's compute
+    with block N-1's write (multithread.c:70-111); the TPU equivalent is a
+    one-deep read prefetch plus a single-thread write executor, so disk IO
+    of batches k-1 and k+1 overlaps the device work of batch k. Single
+    writer thread => writes retain submission order. Errors surface at the
+    next submit/drain."""
+
+    def __init__(self):
+        import concurrent.futures as cf
+        self._rd = cf.ThreadPoolExecutor(1, "shafa-read")
+        self._wr = cf.ThreadPoolExecutor(1, "shafa-write")
+        self._next = None
+        self._writes: list = []
+
+    def prefetch(self, fn, *args):
+        self._next = self._rd.submit(fn, *args)
+
+    def take(self):
+        fut, self._next = self._next, None
+        return fut.result()
+
+    def write(self, fn, *args):
+        # keep at most 2 batches of output in flight (bounds RSS)
+        self._writes.append(self._wr.submit(fn, *args))
+        while len(self._writes) > 2:
+            self._writes.pop(0).result()
+
+    def drain(self):
+        for w in self._writes:
+            w.result()
+        self._writes.clear()
+
+    def close(self):
+        self._rd.shutdown(wait=False, cancel_futures=True)
+        self._wr.shutdown(wait=True)
+
+
 def _read_block_range(fp, geo, lo: int, hi: int) -> list[np.ndarray]:
     """Blocks [lo, hi) of an open file (one contiguous read)."""
     sizes = geo.sizes()
@@ -362,10 +402,15 @@ def compress_pipeline_streaming(path: str, force_rle: bool, force_freq: bool,
     path_rle = formats.add_ext(path, formats.RLE_EXT)
     rle_tmp = _AtomicFile(path_rle)
     rle_fp = None
+    batches = list(_stream_batches(geo, block_size))
+    ov = _Overlap()  # read batch k+1 / write batch k-1 while k computes
     try:
         with open(path, "rb") as fp:
-            for lo, hi in _stream_batches(geo, block_size):
-                blocks = _read_block_range(fp, geo, lo, hi)
+            ov.prefetch(_read_block_range, fp, geo, *batches[0])
+            for bi, (lo, hi) in enumerate(batches):
+                blocks = ov.take()
+                if bi + 1 < len(batches):
+                    ov.prefetch(_read_block_range, fp, geo, *batches[bi + 1])
                 h = backend.fused_encode(blocks)
                 batch_sizes = backend.fused_rle_sizes(h)
                 if compress_rle is None:  # gate from block 0 (f.c:250-257)
@@ -376,14 +421,18 @@ def compress_pipeline_streaming(path: str, force_rle: bool, force_freq: bool,
                 if compress_rle:
                     rle_sizes.extend(int(s) for s in batch_sizes)
                     rle_hists.append(backend.fused_rle_hists(h))
-                    rle_fp.write(backend.fused_rle_bytes(h).tobytes())
+                    ov.write(rle_fp.write,
+                             backend.fused_rle_bytes(h).tobytes())
                 if force_freq or not compress_rle:
                     raw_hists.append(backend.fused_raw_hists(h))
                 del h  # free the batch's device arrays
+            ov.drain()
     except BaseException:
         if rle_fp is not None:
             rle_tmp.__exit__(RuntimeError, None, None)
         raise
+    finally:
+        ov.close()
     if rle_fp is not None:
         rle_tmp.__exit__(None, None, None)
 
@@ -430,24 +479,43 @@ def compress_pipeline_streaming(path: str, force_rle: bool, force_freq: bool,
     payload_sizes: list[int] = []
     try:
         path_shafa = formats.add_ext(data_path, formats.SHAFA_EXT)
-        with _AtomicFile(path_shafa) as out_fp, open(data_path, "rb") as fp:
-            formats.write_shaf_header(out_fp, geo.n_blocks)
-            offs = np.concatenate(([0], np.cumsum(stream_sizes)))
-            for lo, hi in _stream_batches(geo, block_size):
-                fp.seek(offs[lo])
-                buf = fp.read(int(offs[hi] - offs[lo]))
-                blocks, pos = [], 0
-                for s in stream_sizes[lo:hi]:
-                    blocks.append(np.frombuffer(buf, np.uint8, count=s,
-                                                offset=pos))
-                    pos += s
-                sub = codes_mod.CodeTables(
-                    tables.lens[lo:hi], tables.vals[lo:hi],
-                    {i - lo: v for i, v in tables.overflow.items()
-                     if lo <= i < hi})
-                for p in backend.pack(blocks, sub):
-                    formats.write_shaf_block(out_fp, p)
-                    payload_sizes.append(len(p))
+        offs = np.concatenate(([0], np.cumsum(stream_sizes)))
+
+        def read_streams(fp, lo, hi):
+            fp.seek(offs[lo])
+            buf = fp.read(int(offs[hi] - offs[lo]))
+            blocks, pos = [], 0
+            for s in stream_sizes[lo:hi]:
+                blocks.append(np.frombuffer(buf, np.uint8, count=s,
+                                            offset=pos))
+                pos += s
+            return blocks
+
+        def write_payloads(out_fp, payloads):
+            for p in payloads:
+                formats.write_shaf_block(out_fp, p)
+
+        batches = list(_stream_batches(geo, block_size))
+        ov = _Overlap()
+        try:
+            with _AtomicFile(path_shafa) as out_fp, \
+                    open(data_path, "rb") as fp:
+                formats.write_shaf_header(out_fp, geo.n_blocks)
+                ov.prefetch(read_streams, fp, *batches[0])
+                for bi, (lo, hi) in enumerate(batches):
+                    blocks = ov.take()
+                    if bi + 1 < len(batches):
+                        ov.prefetch(read_streams, fp, *batches[bi + 1])
+                    sub = codes_mod.CodeTables(
+                        tables.lens[lo:hi], tables.vals[lo:hi],
+                        {i - lo: v for i, v in tables.overflow.items()
+                         if lo <= i < hi})
+                    payloads = backend.pack(blocks, sub)
+                    payload_sizes.extend(len(p) for p in payloads)
+                    ov.write(write_payloads, out_fp, payloads)
+                ov.drain()
+        finally:
+            ov.close()
     except ShafaError as e:
         e.stage = "c"
         raise
@@ -690,39 +758,55 @@ def _module_d_shafa_streaming(path, path_wrt, block_sizes, tables,
     bsz = max(1, MAX_BATCH_ELEMS // (p * 8))
     sizes_before: list[int] = []
     sizes_after: list[int] = []
-    frames = None
+    def read_frames(frames, n):
+        payloads = []
+        for _ in range(n):
+            try:
+                payloads.append(next(frames))
+            except StopIteration:
+                raise FileUnrecognizableError(
+                    "block count mismatch .shaf vs .cod")
+        return payloads
+
     try:
-        with open(path, "rb") as in_fp:
-            frames = formats.iter_shaf_frames_file(in_fp)
-            with _AtomicFile(path_wrt) as out_fp:
-                done = 0
-                while done < n_blocks:
-                    hi = min(done + bsz, n_blocks)
-                    payloads = []
-                    for _ in range(done, hi):
-                        try:
-                            payloads.append(next(frames))
-                        except StopIteration:
-                            raise FileUnrecognizableError(
-                                "block count mismatch .shaf vs .cod")
-                    sub = codes_mod.CodeTables(
-                        tables.lens[done:hi], tables.vals[done:hi],
-                        {i - done: v for i, v in tables.overflow.items()
-                         if done <= i < hi})
-                    out_blocks = backend.fused_decode(
-                        payloads, sub, block_sizes[done:hi],
-                        expand=rle_decompression)
-                    for b in out_blocks:
-                        out_fp.write(b.tobytes())
-                        sizes_after.append(b.size)
-                    sizes_before.extend(len(pay) for pay in payloads)
-                    done = hi
-                # archive must not have extra frames (iter raises on
-                # trailing bytes only when driven to exhaustion)
-                extra = next(frames, None)
-                if extra is not None:
-                    raise FileUnrecognizableError(
-                        "block count mismatch .shaf vs .cod")
+        ov = _Overlap()  # frame read-ahead / output write-behind
+        try:
+            with open(path, "rb") as in_fp:
+                frames = formats.iter_shaf_frames_file(in_fp)
+                with _AtomicFile(path_wrt) as out_fp:
+                    done = 0
+                    ov.prefetch(read_frames, frames,
+                                min(bsz, n_blocks) - 0)
+                    while done < n_blocks:
+                        hi = min(done + bsz, n_blocks)
+                        payloads = ov.take()
+                        if hi < n_blocks:
+                            ov.prefetch(read_frames, frames,
+                                        min(hi + bsz, n_blocks) - hi)
+                        sub = codes_mod.CodeTables(
+                            tables.lens[done:hi], tables.vals[done:hi],
+                            {i - done: v for i, v in tables.overflow.items()
+                             if done <= i < hi})
+                        out_blocks = backend.fused_decode(
+                            payloads, sub, block_sizes[done:hi],
+                            expand=rle_decompression)
+
+                        def write_batch(out_blocks=out_blocks):
+                            for b in out_blocks:
+                                out_fp.write(b.tobytes())
+                        sizes_after.extend(b.size for b in out_blocks)
+                        sizes_before.extend(len(pay) for pay in payloads)
+                        ov.write(write_batch)
+                        done = hi
+                    ov.drain()
+                    # archive must not have extra frames (iter raises on
+                    # trailing bytes only when driven to exhaustion)
+                    extra = next(frames, None)
+                    if extra is not None:
+                        raise FileUnrecognizableError(
+                            "block count mismatch .shaf vs .cod")
+        finally:
+            ov.close()
     except OSError as e:
         raise FileInaccessibleError(str(e)) from e
     report = StageReport(
