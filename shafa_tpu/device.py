@@ -496,16 +496,31 @@ class JaxBackend:
             cv[:n] = (tables.vals[sel] >> np.uint64(32)).astype(np.uint32)
             np.clip(cl, 0, 32, out=cl)
             if self._sk:
-                # Mesh: per-shard production emission (Pallas on TPU, XLA
-                # stages on the CPU test mesh) via the sharded pack; the
-                # padded-row download is the mesh path's remaining
-                # transfer-size gap vs single-device compaction.
-                packed, plen = self._sk.pack_dev(src, src_len, cl, cv)
-                packed = np.asarray(packed)
-                plen = np.asarray(plen)
+                # Mesh: per-shard production emission + PER-SHARD
+                # compaction — the download is ~payload-sized (exact bytes
+                # back-to-back per shard), like single-device compaction.
+                if use_rle:
+                    hist = np.asarray(b["hist"])
+                else:
+                    self.fused_raw_hists(h)  # ensure cached
+                    hist = b["raw_hist"]
+                byte_lens = kpack.pack_byte_lens(hist, cl)
+                byte_lens[n:] = 0
+                for i in fallback:
+                    byte_lens[i - base] = 0
+                d = self._sk.n_devices
+                rows_d = rows // d
+                shard_totals = byte_lens.reshape(d, rows_d).sum(axis=1)
+                bound = -(-max(int(shard_totals.max()), 1) // 65536) * 65536
+                flat, _ = self._sk.pack_compact_dev(src, src_len, cl, cv,
+                                                    bound)
+                buf = np.asarray(flat).reshape(d, bound)
                 for j in range(n):
                     if base + j not in fallback:
-                        results[base + j] = packed[j, : plen[j]].tobytes()
+                        sd = j // rows_d
+                        o = int(byte_lens[sd * rows_d: j].sum())
+                        results[base + j] = \
+                            buf[sd, o:o + int(byte_lens[j])].tobytes()
             elif pallas:
                 if use_rle:
                     hist = np.asarray(b["hist"])

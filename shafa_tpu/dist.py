@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .kernels import decode as kdecode
 from .kernels import histogram as khist
+from .kernels import ops as kops
 from .kernels import pack as kpack
 from .kernels import rle as krle
 
@@ -95,6 +96,7 @@ class ShardedKernels:
             in_specs=(P(AXIS, None), P(AXIS)),
             out_specs=P(AXIS)))
         self._expand = {}  # out_p -> compiled fn
+        self._pack_compact = {}  # bound -> compiled fn
         self._spec = spec
         self.n_devices = d
 
@@ -110,6 +112,28 @@ class ShardedKernels:
 
     def pack_dev(self, x, lens, code_lens, code_vals):
         return self._pack(x, lens, code_lens, code_vals)
+
+    def pack_compact_dev(self, x, lens, code_lens, code_vals, bound: int):
+        """Sharded pack + PER-SHARD compaction: exact payload bytes.
+
+        bound: static per-shard output byte budget (>= any shard's total
+        packed bytes, host-bucketed). Returns a (D * bound,) uint8 device
+        array — shard d's rows lie back-to-back at [d * bound, ...) — plus
+        the (B,) packed byte lengths. Downloading D * bound ~ payload size
+        closes the mesh path's padded-row transfer gap vs single-device
+        compaction (kernels run per shard: Pallas on TPU, XLA elsewhere).
+        """
+        if bound not in self._pack_compact:
+            def fn(xx, ll, cl, cv, bound=bound):
+                words, out_len = kpack.pack_batch_words(xx, ll, cl, cv)
+                flat = kops.compact_words(words, out_len, bound)
+                return flat, out_len
+            self._pack_compact[bound] = jax.jit(self._spec(
+                fn,
+                in_specs=(P(AXIS, None), P(AXIS), P(AXIS, None),
+                          P(AXIS, None)),
+                out_specs=(P(AXIS), P(AXIS))))
+        return self._pack_compact[bound](x, lens, code_lens, code_vals)
 
     # -- per-kernel public wrappers (numpy in / numpy out, any B) ----------
 

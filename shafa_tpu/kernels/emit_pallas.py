@@ -380,16 +380,19 @@ def emit_bits_rows(val: jnp.ndarray, bitlen: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("stride_words", "t_lanes",
                                               "interpret"))
-def emit_coded_rows(x: jnp.ndarray, row_lens: jnp.ndarray,
-                    lut_len: jnp.ndarray, lut_hi: jnp.ndarray,
-                    lut_lo: jnp.ndarray, stride_words: int,
-                    t_lanes: int = TILE,
-                    interpret: bool = False) -> jnp.ndarray:
-    """emit_coded into a strided (B, 4*stride_words) uint8 row layout.
+def emit_coded_words(x: jnp.ndarray, row_lens: jnp.ndarray,
+                     lut_len: jnp.ndarray, lut_hi: jnp.ndarray,
+                     lut_lo: jnp.ndarray, stride_words: int,
+                     t_lanes: int = TILE,
+                     interpret: bool = False) -> jnp.ndarray:
+    """emit_coded into strided (B, stride_words) int32 WORD rows.
 
-    The shard_map-friendly pack shape: no data-dependent host offsets, so it
-    can run per-shard over a blocks mesh (dist.ShardedKernels). stride_words
-    must be a multiple of 128 and >= each row's packed length in words.
+    Row r's packed bytes are the little-endian u8 view of its words. The
+    word layout is what device-side consumers (compact_words) and host
+    .view(uint8) need; the u8-bitcast variant below materializes a
+    (B, stride, 4) intermediate that XLA lays out catastrophically at
+    multi-GB strides (34 GiB compile-time allocation observed at
+    (8, 16 Mi) — the minor-4 dim tiles against (8, 128)).
     """
     if stride_words % 128:
         raise ValueError("stride_words must be a multiple of 128")
@@ -399,7 +402,24 @@ def emit_coded_rows(x: jnp.ndarray, row_lens: jnp.ndarray,
     flat = emit_coded(x, row_lens, lut_len, lut_hi, lut_lo, woff,
                       out_words=out_words, t_lanes=t_lanes,
                       interpret=interpret)
-    rows = flat[0, : b * stride_words].reshape(b, stride_words)
+    return flat[0, : b * stride_words].reshape(b, stride_words)
+
+
+def emit_coded_rows(x: jnp.ndarray, row_lens: jnp.ndarray,
+                    lut_len: jnp.ndarray, lut_hi: jnp.ndarray,
+                    lut_lo: jnp.ndarray, stride_words: int,
+                    t_lanes: int = TILE,
+                    interpret: bool = False) -> jnp.ndarray:
+    """emit_coded into a strided (B, 4*stride_words) uint8 row layout.
+
+    Prefer emit_coded_words + a host-side .view(uint8) for large strides
+    (see its docstring); this byte-layout wrapper remains for small-shape
+    and test callers.
+    """
+    b = x.shape[0]
+    rows = emit_coded_words(x, row_lens, lut_len, lut_hi, lut_lo,
+                            stride_words, t_lanes=t_lanes,
+                            interpret=interpret)
     return jax.lax.bitcast_convert_type(rows, jnp.uint8) \
         .reshape(b, 4 * stride_words)
 

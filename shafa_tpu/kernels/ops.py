@@ -128,6 +128,20 @@ def compact_rows_pallas(rows: jnp.ndarray, lens: jnp.ndarray, out_sz: int,
                                 msb_first=True)
 
 
+def compact_words(words: jnp.ndarray, lens: jnp.ndarray, out_sz: int):
+    """Platform-dispatched compact_words_pallas (byte-expanding XLA
+    fallback for CPU meshes/tests)."""
+    from .dispatch import pallas_interpret, use_pallas_emit
+    if use_pallas_emit():
+        return compact_words_pallas(words, lens, out_sz,
+                                    interpret=pallas_interpret())
+    b, q = words.shape
+    rows = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(words, jnp.uint32), jnp.uint8) \
+        .reshape(b, 4 * q)
+    return compact_rows_xla(rows, lens, out_sz)
+
+
 def compact_words_pallas(words: jnp.ndarray, lens: jnp.ndarray, out_sz: int,
                          interpret: bool = False, msb_first: bool = False):
     """Concatenate per-row byte streams given in u32-WORD lanes.

@@ -164,6 +164,45 @@ def pack_batch_rows_pallas(x, lengths, code_lens, code_vals,
     return packed, out_len
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pack_batch_words_pallas(x, lengths, code_lens, code_vals,
+                            interpret: bool = False):
+    """Pallas pack into (B, stride_words) int32 little-endian word rows.
+
+    Same contract as pack_batch_rows_pallas but without the u8 bitcast of
+    the padded buffer (see emit_coded_words). Row r's packed bytes are the
+    u8 view of out[r, :ceil(out_len[r]/4)]."""
+    from .emit_pallas import emit_coded_words
+    from .histogram import histogram_batch
+    b, p = x.shape
+    hist = histogram_batch(x, lengths)
+    bits = jnp.sum(hist * code_lens, axis=1)
+    out_len = (bits + 7) >> 3
+    cv = code_vals.astype(jnp.uint32)
+    hi = (cv >> 16).astype(jnp.int32)
+    lo = (cv & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    words = emit_coded_words(x, lengths, code_lens.astype(jnp.int32), hi, lo,
+                             pack_out_bound(p) // 4, interpret=interpret)
+    return words, out_len
+
+
+def pack_batch_words(x, lengths, code_lens, code_vals):
+    """Platform-dispatched pack to word rows: ((B, W) i32 LE, out_len).
+
+    The mesh path's per-shard pack shape (feeds ops.compact_words for the
+    exact-bytes download). XLA fallback packs bytes then merges to words
+    (a collapsing bitcast — cheap, unlike the expanding direction)."""
+    from .dispatch import pallas_interpret, use_pallas_emit
+    if use_pallas_emit():
+        return pack_batch_words_pallas(x, lengths, code_lens, code_vals,
+                                       interpret=pallas_interpret())
+    rows, out_len = pack_batch(x, lengths, code_lens, code_vals)
+    b, q = rows.shape
+    words = jax.lax.bitcast_convert_type(
+        rows.reshape(b, q // 4, 4), jnp.uint32)
+    return jax.lax.bitcast_convert_type(words, jnp.int32), out_len
+
+
 def pack_batch(x: jnp.ndarray, lengths: jnp.ndarray,
                code_lens: jnp.ndarray, code_vals: jnp.ndarray):
     """Pack (B, P) uint8 symbol streams with per-block code tables.

@@ -56,6 +56,33 @@ def test_sharded_matches_single_device():
         b.tobytes() for b in blocks)
 
 
+def test_mesh_fused_pipeline_matches_single(tmp_path):
+    """The FUSED mesh path (fused_encode/fused_pack with per-shard
+    compaction) must produce byte-identical sidecars vs single-device."""
+    import os
+
+    from shafa_tpu import pipeline
+    data = mixed(300_000, seed=9)
+    pa = str(tmp_path / "mesh.bin")
+    pb = str(tmp_path / "single.bin")
+    for p in (pa, pb):
+        with open(p, "wb") as fp:
+            fp.write(data)
+    shaf_a, _ = pipeline.compress_pipeline(
+        pa, False, False, 16 << 10, JaxBackend(mesh=block_mesh()))
+    shaf_b, _ = pipeline.compress_pipeline(
+        pb, False, False, 16 << 10, JaxBackend())
+    for ext in (".rle", ".rle.freq", ".rle.cod", ".rle.shaf"):
+        with open(pa + ext, "rb") as fa, open(pb + ext, "rb") as fb:
+            assert fa.read() == fb.read(), f"{ext}: mesh != single"
+    # roundtrip through the mesh decoder
+    os.rename(pa, pa + ".orig")
+    out, _ = pipeline.module_d_shafa(shaf_a, rle_decompression=True,
+                                     backend=JaxBackend(mesh=block_mesh()))
+    with open(out, "rb") as fp:
+        assert fp.read() == data
+
+
 def test_sharded_nondivisible_block_count():
     """B not divisible by mesh size exercises the padding rows."""
     blocks = _blocks(n=11)
