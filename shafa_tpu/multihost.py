@@ -265,10 +265,41 @@ def compress_multihost(path: str, block_size: int, backend,
     return path_shafa
 
 
+def scan_shaf_offsets(path: str) -> tuple[np.ndarray, np.ndarray, int]:
+    """(payload_offsets, payload_sizes, n_blocks) by reading only the
+    ASCII frame headers (~20 bytes per block) — the whole-archive read this
+    replaces cost H * archive_size aggregate across hosts."""
+    from .errors import FileUnrecognizableError
+    import re
+    with open(path, "rb") as fp:
+        head = fp.read(32)
+        m = re.match(rb"@(\d+)", head)
+        if not m:
+            raise FileUnrecognizableError(".shaf header")
+        n_blocks = int(m.group(1))
+        pos = m.end()
+        offs = np.zeros(n_blocks, np.int64)
+        sizes = np.zeros(n_blocks, np.int64)
+        hdr = re.compile(rb"@(\d+)@")
+        for i in range(n_blocks):
+            fp.seek(pos)
+            m = hdr.match(fp.read(32))
+            if not m:
+                raise FileUnrecognizableError(".shaf frame header")
+            sizes[i] = int(m.group(1))
+            offs[i] = pos + m.end()
+            pos = offs[i] + sizes[i]
+    return offs, sizes, n_blocks
+
+
 def decompress_multihost(path: str, backend,
                          comm: Comm | None = None) -> str:
-    """Module D across hosts: each host decodes its contiguous block range
-    and pwrites at the offset implied by the (known) decoded sizes."""
+    """Module D across hosts: each host header-scans the archive (KB-scale
+    reads), preads ONLY its contiguous payload range, decodes it batch-wise
+    into a local spool file (bounded RSS), and splices the spool into the
+    shared output at the offset implied by the gathered decoded sizes."""
+    import tempfile
+
     comm = comm or Comm()
     pi, pc = comm.index, comm.count
 
@@ -277,22 +308,57 @@ def decompress_multihost(path: str, backend,
     path_wrt = formats.rm_ext(path_tmp) if rle else path_tmp
     with open(formats.add_ext(path_tmp, formats.CODES_EXT), "rb") as fp:
         mode, block_sizes, tables = formats.parse_cod_tables(fp.read())
+    frame_offs, frame_sizes, n_blocks = scan_shaf_offsets(path)
+    if n_blocks != len(block_sizes):
+        from .errors import FileUnrecognizableError
+        raise FileUnrecognizableError("block count mismatch .shaf vs .cod")
+
+    rng = partition_blocks(n_blocks, pc, pi)
+    expand = rle and mode == "R"
+    # batch granularity like the fused decoder's
+    from .device import MAX_BATCH_ELEMS, _bucket
+    p = _bucket(max(block_sizes) if block_sizes else 1)
+    bsz = max(1, MAX_BATCH_ELEMS // (p * 8))
+
+    my_sizes = np.zeros(rng.n, np.int64)
+    spool = tempfile.TemporaryFile(dir=os.path.dirname(path) or ".")
     with open(path, "rb") as fp:
-        payloads = formats.parse_shaf_frames(fp.read())
+        for lo in range(rng.lo, rng.hi, bsz):
+            hi = min(lo + bsz, rng.hi)
+            fp.seek(frame_offs[lo])
+            buf = fp.read(int(frame_offs[hi - 1] + frame_sizes[hi - 1]
+                              - frame_offs[lo]))
+            base = frame_offs[lo]
+            payloads = [
+                buf[int(frame_offs[i] - base):
+                    int(frame_offs[i] - base + frame_sizes[i])]
+                for i in range(lo, hi)]
+            sub = codes_mod.CodeTables(
+                tables.lens[lo:hi], tables.vals[lo:hi],
+                {i - lo: v for i, v in tables.overflow.items()
+                 if lo <= i < hi})
+            out_blocks = backend.fused_decode(
+                payloads, sub, block_sizes[lo:hi], expand=expand)
+            for j, b in enumerate(out_blocks):
+                my_sizes[lo - rng.lo + j] = b.size
+                spool.write(b.tobytes())
 
-    rng = partition_blocks(len(payloads), pc, pi)
-    my_tables = codes_mod.CodeTables(
-        tables.lens[rng.lo: rng.hi], tables.vals[rng.lo: rng.hi],
-        {i - rng.lo: v for i, v in tables.overflow.items()
-         if rng.lo <= i < rng.hi})
-    out_blocks = backend.fused_decode(
-        payloads[rng.lo: rng.hi], my_tables, block_sizes[rng.lo: rng.hi],
-        expand=rle and mode == "R")
-
-    my_sizes = np.array([b.size for b in out_blocks], np.int64)
     out_sizes = comm.allgather(my_sizes)
     offs = np.concatenate(([0], np.cumsum(out_sizes)))
-    write_at(path_wrt, int(offs[rng.lo]),
-             b"".join(b.tobytes() for b in out_blocks),
-             total_size=int(offs[-1]))
+    # splice the spool into the shared output in bounded chunks
+    total = int(offs[-1])
+    dst_off = int(offs[rng.lo])
+    spool.seek(0)
+    fd = os.open(path_wrt, os.O_WRONLY | os.O_CREAT, 0o644)
+    try:
+        os.ftruncate(fd, total)
+        while True:
+            chunk = spool.read(64 << 20)
+            if not chunk:
+                break
+            os.pwrite(fd, chunk, dst_off)
+            dst_off += len(chunk)
+    finally:
+        os.close(fd)
+        spool.close()
     return path_wrt
