@@ -7,8 +7,10 @@ the real chip:
 
     python bench_stages.py [total_bytes] [block_bytes]
 
-Stage list mirrors device.py's fused dispatch: RLE encode, histogram,
-pack stage1/stage2, compact, decode stage1/stage2, RLE expand.
+Stage list mirrors the fused encode dispatch: RLE encode, histogram,
+code build, production pack (words), word compaction — each with an
+analytic roofline line attributing its gap (HBM / VPU / MXU bound).
+Decode stages live in bench_decode_stages.py.
 """
 
 from __future__ import annotations
@@ -45,6 +47,31 @@ def synthetic(n: int, seed: int = 0) -> np.ndarray:
     return np.concatenate(parts)[:n]
 
 
+# --- roofline model (v5e, per chip) ----------------------------------------
+# HBM ~819 GB/s; VPU ~4 Tops/s elementwise int32 (8x128 lanes x ~4 ALUs at
+# 940 MHz); MXU 197 TFLOPS bf16 / ~49 TFLOPS f32-highest. Analytic per-stage
+# costs below are descriptive estimates (counted from the kernel formulas)
+# used to attribute each stage's gap: a stage near its HBM bound needs
+# fusion/layout work; near its VPU bound needs an algorithmic change.
+HBM_BPS = 819e9
+VPU_OPS = 4e12
+MXU_BF16 = 197e12
+MXU_F32 = 49e12
+
+
+def roofline(name: str, dt: float, hbm_bytes: float, vpu_ops: float = 0,
+             mxu_macs: float = 0, mxu_f32: bool = False):
+    t_hbm = hbm_bytes / HBM_BPS
+    t_vpu = vpu_ops / VPU_OPS
+    t_mxu = mxu_macs / (MXU_F32 if mxu_f32 else MXU_BF16)
+    bound = max(t_hbm, t_vpu, t_mxu)
+    which = ("HBM" if bound == t_hbm else
+             "VPU" if bound == t_vpu else "MXU")
+    print(f"  roofline[{name}]: ideal {bound * 1e3:8.2f} ms ({which}-bound:"
+          f" hbm {t_hbm * 1e3:.1f} vpu {t_vpu * 1e3:.1f}"
+          f" mxu {t_mxu * 1e3:.1f})  attained {bound / dt * 100:5.1f}%")
+
+
 def timeit(name: str, fn, nbytes: int, reps: int = REPS):
     import jax
 
@@ -69,9 +96,7 @@ def main():
     import jax.numpy as jnp
 
     from shafa_tpu import codes as codes_mod
-    from shafa_tpu.device import _bucket, _compact_step, _dl_bucket, \
-        _stack_blocks
-    from shafa_tpu.kernels import decode as kdecode
+    from shafa_tpu.device import _bucket, _dl_bucket, _stack_blocks
     from shafa_tpu.kernels import histogram as khist
     from shafa_tpu.kernels import pack as kpack
     from shafa_tpu.kernels import rle as krle
@@ -87,14 +112,24 @@ def main():
     ld = jnp.asarray(lens)
 
     # --- encode chain ------------------------------------------------------
-    timeit("rle_encode", lambda: krle.rle_encode_batch(x, ld), SIZE)
+    n_el = b * p  # padded elements
+    dt = timeit("rle_encode", lambda: krle.rle_encode_batch(x, ld), SIZE)
+    # analysis: ~8 elementwise/scan passes over (B,P) i32 + emit kernel:
+    # per lane ~40 VPU ops (cumsum+shift) + per SUB_LANES chunk a (130,128)
+    # one-hot build (~2 ops/cell) + f32 placement matmul
+    roofline("rle_encode", dt,
+             hbm_bytes=n_el * (1 + 2 * 4 * 8) + 2 * n_el,
+             vpu_ops=n_el * (8 * 4 + 40 + 2 * 130),
+             mxu_macs=n_el * 4 * 130, mxu_f32=True)
     enc, enc_len = krle.rle_encode_batch(x, ld)
     jax.block_until_ready(enc)
     enc_bytes = int(np.asarray(enc_len).sum())
     print(f"  rle out: {enc_bytes / 1e6:.1f} MB")
 
-    timeit("histogram(rle)", lambda: khist.histogram_batch(enc, enc_len),
-           enc_bytes)
+    dt = timeit("histogram(rle)",
+                lambda: khist.histogram_batch(enc, enc_len), enc_bytes)
+    roofline("histogram", dt, hbm_bytes=2 * n_el,
+             vpu_ops=n_el * 8, mxu_macs=n_el * 32)
     hist = np.asarray(khist.histogram_batch(enc, enc_len)).astype(np.int64)
 
     t0 = time.perf_counter()
@@ -106,55 +141,35 @@ def main():
     cl = jnp.asarray(tables.lens.astype(np.int32))
     cv = jnp.asarray((tables.vals >> np.uint64(32)).astype(np.uint32))
 
-    timeit("pack_stage1",
-           lambda: kpack._stage1_jit(enc, enc_len, cl, cv), enc_bytes)
-    off, val, bit_total, out_len = kpack._stage1_jit(enc, enc_len, cl, cv)
-    jax.block_until_ready(off)
-    timeit("pack_stage2(padded)",
-           lambda: kpack._stage2_jit(off, val, bit_total), enc_bytes)
-    packed, plen = kpack.pack_batch(enc, enc_len, cl, cv)
-    jax.block_until_ready(packed)
+    # production pack dispatch (Pallas emit_coded_words on TPU)
+    n_enc = enc.shape[0] * enc.shape[1]
+    dt = timeit("pack_words(production)",
+                lambda: kpack.pack_batch_words(enc, enc_len, cl, cv),
+                enc_bytes)
+    # per lane: 256-LUT (2 nibble one-hots ~64 ops + 3x16 MACs/lane) +
+    # cumsum/shift ~40 + placement build ~130; MXU: LUT 3*256 + place 4*130
+    roofline("pack_words", dt,
+             hbm_bytes=2 * n_enc + n_enc,
+             vpu_ops=n_enc * (64 + 40 + 130),
+             mxu_macs=n_enc * (3 * 256 + 4 * 130), mxu_f32=True)
+    words, plen = kpack.pack_batch_words(enc, enc_len, cl, cv)
+    jax.block_until_ready(words)
     plen_np = np.asarray(plen)
     packed_bytes = int(plen_np.sum())
     print(f"  packed: {packed_bytes / 1e6:.1f} MB")
 
     out_sz = _dl_bucket(packed_bytes)
-    timeit("pack_compact(fused)",
-           lambda: kpack._compact_jit(off, val, bit_total, plen,
-                                      out_sz=out_sz), packed_bytes)
-    compact = _compact_step()
-    timeit("compact(packed)",
-           lambda: compact(packed, plen_np, out_sz=out_sz), packed_bytes)
-
-    # --- decode chain ------------------------------------------------------
-    payloads = [np.asarray(packed[i, :plen_np[i]]) for i in range(b)]
-    pstacked, plens2 = _stack_blocks(payloads)
-    py = jax.block_until_ready(jnp.asarray(pstacked))
-    pl2 = jnp.asarray(plens2)
-    counts = np.asarray(enc_len, np.int32)
-    tab = kdecode.decode_tables_batch(tables.lens, tables.vals)
-    tabj = {k: jax.block_until_ready(jnp.asarray(v)) for k, v in tab.items()}
-    out_p = _bucket(int(counts.max()))
-
-    timeit("decode_stage1", lambda: kdecode._stage1_jit(py, tabj),
-           packed_bytes)
-    ln_, sym_ = kdecode._stage1_jit(py, tabj)
-    jax.block_until_ready(ln_)
-    timeit("decode_stage2",
-           lambda: kdecode._stage2_jit(ln_, sym_, pl2,
-                                       jnp.asarray(counts), out_p=out_p),
-           enc_bytes)
-    dec, _ = kdecode._stage2_jit(ln_, sym_, pl2, jnp.asarray(counts),
-                                 out_p=out_p)
-    jax.block_until_ready(dec)
-
-    timeit("expand_sizes",
-           lambda: krle.rle_expand_sizes(dec, jnp.asarray(counts)), enc_bytes)
-    sizes = np.asarray(krle.rle_expand_sizes(dec, jnp.asarray(counts)))
-    ex_p = _bucket(int(sizes.max()))
-    timeit("rle_expand",
-           lambda: krle.rle_expand_batch(dec, jnp.asarray(counts), ex_p),
-           SIZE)
+    from shafa_tpu.kernels import ops as kops
+    dt = timeit("compact_words",
+                lambda: kops.compact_words(words, plen, out_sz),
+                packed_bytes)
+    roofline("compact_words", dt,
+             hbm_bytes=4 * words.shape[0] * words.shape[1] + out_sz,
+             vpu_ops=words.shape[0] * words.shape[1] * (40 + 130),
+             mxu_macs=words.shape[0] * words.shape[1] * 4 * 130,
+             mxu_f32=True)
+    # (decode-side stages are profiled by bench_decode_stages.py, which
+    # builds its inputs on host and exercises the production decode path.)
 
 
 if __name__ == "__main__":
