@@ -359,10 +359,14 @@ def _stage2_kernel(plen_ref, cnt_ref, ln_ref, sym_ref,
         smem[0] = 0
         smem[1] = 0
 
+    @pl.when((t_idx == 0) & (r == 0))
+    def _init_under():
+        under_ref[...] = jnp.zeros_like(under_ref)
+
     @pl.when(t_idx <= last_tile)
     def _body():
-        lnp = jnp.clip(ln_ref[:, 0, :].astype(jnp.int32), 1, s_states - 1)
-        symp = sym_ref[:, 0, :].astype(jnp.int32) & 255  # (8, T)
+        lnp = jnp.clip(ln_ref[...].astype(jnp.int32), 1, s_states - 1)
+        symp = sym_ref[...].astype(jnp.int32) & 255  # (8, T)
 
         # E[b] = state at byte end for a boundary at bit b (backward chain)
         E = [None] * 8
@@ -444,7 +448,9 @@ def _stage2_kernel(plen_ref, cnt_ref, ln_ref, sym_ref,
         @pl.when(t_idx == last_tile)
         def _final():
             total = jnp.sum(jnp.where(lane1 == t_lanes - 1, cum, 0))
-            under_ref[0, 0] = (total < cnt).astype(jnp.int32)
+            flag = (total < cnt).astype(jnp.int32)
+            b_ids = jax.lax.broadcasted_iota(jnp.int32, under_ref.shape, 1)
+            under_ref[...] = jnp.where(b_ids == r, flag, under_ref[...])
 
 
 def _cumsum_1d(x):
@@ -470,31 +476,35 @@ def _stage2_chain_pallas(ln: jnp.ndarray, sym: jnp.ndarray,
     p = nslots // 8
     t = min(S2_TILE, p)
     n_tiles = p // t
-    # plane-major (B, 8P) -> (8, B, P) int8 so each tile loads one
-    # (8, 1, T) block per array (i8 halves the kernel's input traffic)
-    ln8 = ln.reshape(b, 8, p).transpose(1, 0, 2).astype(jnp.int8)
-    sym8 = sym.reshape(b, 8, p).transpose(1, 0, 2).astype(jnp.int8)
+    # plane-major (B, 8P) -> (8, B*P) int8: each tile loads one (8, T)
+    # block per array (sublane dim 8 satisfies Mosaic's block rules; i8
+    # halves the kernel's input traffic)
+    ln8 = ln.reshape(b, 8, p).transpose(1, 0, 2).astype(jnp.int8) \
+        .reshape(8, b * p)
+    sym8 = sym.reshape(b, 8, p).transpose(1, 0, 2).astype(jnp.int8) \
+        .reshape(8, b * p)
     kern = functools.partial(_stage2_kernel, s_states=s_states, t_lanes=t)
-    plane = pl.BlockSpec((8, 1, t), lambda r_, t_, *_: (0, r_, t_))
-    flat = pl.BlockSpec((1, t), lambda r_, t_, *_: (r_, t_))
+    plane = pl.BlockSpec((8, t), lambda r_, t_, *_: (0, r_ * n_tiles + t_))
+    flat = pl.BlockSpec((1, t), lambda r_, t_, *_: (0, r_ * n_tiles + t_))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # payload_lens, out_counts
         grid=(b, n_tiles),
         in_specs=[plane, plane],
         out_specs=[flat, flat, flat, flat,
-                   pl.BlockSpec((1, 1), lambda r_, t_, *_: (r_, 0))],
+                   pl.BlockSpec((1, b), lambda r_, t_, *_: (0, 0))],
         scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
     )
-    shp = jax.ShapeDtypeStruct((b, p), jnp.int32)
+    shp = jax.ShapeDtypeStruct((1, b * p), jnp.int32)
     v1, v2, l1, l2, under = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[shp, shp, shp, shp,
-                   jax.ShapeDtypeStruct((b, 1), jnp.int32)],
+                   jax.ShapeDtypeStruct((1, b), jnp.int32)],
         interpret=interpret,
     )(payload_lens.astype(jnp.int32), out_counts.astype(jnp.int32),
       ln8, sym8)
-    return v1, v2, l1, l2, under[:, 0] > 0
+    return (v1.reshape(b, p), v2.reshape(b, p), l1.reshape(b, p),
+            l2.reshape(b, p), under[0] > 0)
 
 
 def decode_stage2_scan(ln: jnp.ndarray, sym: jnp.ndarray,

@@ -57,22 +57,34 @@ class _AtomicFile:
     The reference leaves partially-written files on any error (SURVEY.md
     §5.3: drivers close but never unlink, e.g. c.c:430-436); per-block
     independence makes clean restart cheap, so we improve on it — a
-    documented deviation (docs/DEVIATIONS.md)."""
+    documented deviation (docs/DEVIATIONS.md).
 
-    def __init__(self, path: str):
+    ``keep_on_error`` (the streaming pipelines' restart mode) retains the
+    temp file on failure so a later run can resume it; ``resume_at`` opens
+    the existing temp and truncates to the last durable offset."""
+
+    def __init__(self, path: str, keep_on_error: bool = False,
+                 resume_at: int | None = None):
         self.path = path
         self.tmp = path + ".shafa_tmp"
+        self.keep_on_error = keep_on_error
+        self.resume_at = resume_at
         self.fp = None
 
     def __enter__(self):
-        self.fp = open(self.tmp, "wb")
+        if self.resume_at is not None and os.path.isfile(self.tmp):
+            self.fp = open(self.tmp, "r+b")
+            self.fp.truncate(self.resume_at)
+            self.fp.seek(self.resume_at)
+        else:
+            self.fp = open(self.tmp, "wb")
         return self.fp
 
     def __exit__(self, et, ev, tb):
         self.fp.close()
         if et is None:
             os.replace(self.tmp, self.path)
-        else:
+        elif not self.keep_on_error:
             try:
                 os.unlink(self.tmp)
             except OSError:
@@ -308,6 +320,55 @@ def module_f(path: str, force_rle: bool, force_freq: bool, block_size: int,
 STREAM_THRESHOLD = int(os.environ.get("SHAFA_STREAM_THRESHOLD", 256 << 20))
 
 
+class _Progress:
+    """Batch-granular restart state for the streaming compress (SURVEY.md
+    §5.3 'worth adding': per-block independence makes a partial encode
+    restartable). A small .npz beside the temp output records how many
+    batches are durably written plus the per-block metadata accumulated so
+    far; a rerun with the same input resumes after the last recorded batch
+    instead of re-encoding from byte 0. Disable with SHAFA_RESUME=0."""
+
+    def __init__(self, path: str, key: dict):
+        self.path = path
+        self.key = {k: int(v) for k, v in key.items()}
+        self.enabled = os.environ.get("SHAFA_RESUME", "1") != "0"
+
+    def load(self) -> dict | None:
+        if not self.enabled or not os.path.isfile(self.path):
+            return None
+        try:
+            with np.load(self.path, allow_pickle=False) as z:
+                state = {k: z[k] for k in z.files}
+        except Exception:
+            return None
+        for k, v in self.key.items():
+            if int(state.get("key_" + k, -1)) != v:
+                return None  # different input/config: stale state
+        return state
+
+    def save(self, **state) -> None:
+        if not self.enabled:
+            return
+        for k, v in self.key.items():
+            state["key_" + k] = v
+        tmp = self.path + ".tmp"
+        with open(tmp, "wb") as fp:
+            np.savez(fp, **state)
+        os.replace(tmp, self.path)
+
+    def clear(self) -> None:
+        try:
+            os.unlink(self.path)
+        except OSError:
+            pass
+
+
+def _input_key(path: str, block_size: int) -> dict:
+    st = os.stat(path)
+    return dict(total=st.st_size, block=block_size,
+                mtime_ns=st.st_mtime_ns)
+
+
 class _Overlap:
     """Read-ahead + ordered write-behind around a streaming compute loop.
 
@@ -400,14 +461,32 @@ def compress_pipeline_streaming(path: str, force_rle: bool, force_freq: bool,
     compress_rle: bool | None = None
     generated: list[str] = []
     path_rle = formats.add_ext(path, formats.RLE_EXT)
-    rle_tmp = _AtomicFile(path_rle)
+    prog = _Progress(path_rle + ".progress", _input_key(path, block_size))
+    start_bi = 0
+    resume_at = None
+    st = prog.load()
+    if st is not None and (not bool(st["compress_rle"])
+                          or os.path.isfile(path_rle + ".shafa_tmp")):
+        start_bi = int(st["done_batches"])
+        compress_rle = bool(st["compress_rle"])
+        resume_at = int(st["rle_written"])
+        if compress_rle:
+            rle_sizes = [int(s) for s in st["rle_sizes"]]
+            rle_hists = [st["rle_hists"]]
+        if st["raw_hists"].size:
+            raw_hists = [st["raw_hists"]]
+    rle_tmp = _AtomicFile(path_rle, keep_on_error=prog.enabled,
+                          resume_at=resume_at)
     rle_fp = None
+    if resume_at is not None and compress_rle:
+        rle_fp = rle_tmp.__enter__()
     batches = list(_stream_batches(geo, block_size))
     ov = _Overlap()  # read batch k+1 / write batch k-1 while k computes
     try:
         with open(path, "rb") as fp:
-            ov.prefetch(_read_block_range, fp, geo, *batches[0])
-            for bi, (lo, hi) in enumerate(batches):
+            if start_bi < len(batches):
+                ov.prefetch(_read_block_range, fp, geo, *batches[start_bi])
+            for bi in range(start_bi, len(batches)):
                 blocks = ov.take()
                 if bi + 1 < len(batches):
                     ov.prefetch(_read_block_range, fp, geo, *batches[bi + 1])
@@ -426,6 +505,21 @@ def compress_pipeline_streaming(path: str, force_rle: bool, force_freq: bool,
                 if force_freq or not compress_rle:
                     raw_hists.append(backend.fused_raw_hists(h))
                 del h  # free the batch's device arrays
+                if prog.enabled:
+                    ov.drain()  # writes durable before recording progress
+                    prog.save(
+                        done_batches=bi + 1,
+                        compress_rle=bool(compress_rle),
+                        rle_written=rle_fp.tell() if rle_fp else 0,
+                        rle_sizes=np.asarray(rle_sizes, np.int64),
+                        rle_hists=(np.concatenate(rle_hists) if rle_hists
+                                   else np.zeros((0, 256), np.int64)),
+                        raw_hists=(np.concatenate(raw_hists) if raw_hists
+                                   else np.zeros((0, 256), np.int64)))
+                    if rle_hists:
+                        rle_hists = [np.concatenate(rle_hists)]
+                    if raw_hists:
+                        raw_hists = [np.concatenate(raw_hists)]
             ov.drain()
     except BaseException:
         if rle_fp is not None:
@@ -435,6 +529,7 @@ def compress_pipeline_streaming(path: str, force_rle: bool, force_freq: bool,
         ov.close()
     if rle_fp is not None:
         rle_tmp.__exit__(None, None, None)
+    prog.clear()
 
     if compress_rle:
         freqs = np.concatenate(rle_hists)
@@ -496,13 +591,26 @@ def compress_pipeline_streaming(path: str, force_rle: bool, force_freq: bool,
                 formats.write_shaf_block(out_fp, p)
 
         batches = list(_stream_batches(geo, block_size))
+        progc = _Progress(path_shafa + ".progress",
+                          _input_key(path, block_size))
+        startc = 0
+        resume_c = None
+        stc = progc.load()
+        if stc is not None and os.path.isfile(path_shafa + ".shafa_tmp"):
+            startc = int(stc["done_batches"])
+            payload_sizes.extend(int(s) for s in stc["payload_sizes"])
+            resume_c = int(stc["written"])
         ov = _Overlap()
         try:
-            with _AtomicFile(path_shafa) as out_fp, \
+            with _AtomicFile(path_shafa, keep_on_error=progc.enabled,
+                             resume_at=resume_c) as out_fp, \
                     open(data_path, "rb") as fp:
-                formats.write_shaf_header(out_fp, geo.n_blocks)
-                ov.prefetch(read_streams, fp, *batches[0])
-                for bi, (lo, hi) in enumerate(batches):
+                if resume_c is None:
+                    formats.write_shaf_header(out_fp, geo.n_blocks)
+                if startc < len(batches):
+                    ov.prefetch(read_streams, fp, *batches[startc])
+                for bi in range(startc, len(batches)):
+                    lo, hi = batches[bi]
                     blocks = ov.take()
                     if bi + 1 < len(batches):
                         ov.prefetch(read_streams, fp, *batches[bi + 1])
@@ -513,9 +621,16 @@ def compress_pipeline_streaming(path: str, force_rle: bool, force_freq: bool,
                     payloads = backend.pack(blocks, sub)
                     payload_sizes.extend(len(p) for p in payloads)
                     ov.write(write_payloads, out_fp, payloads)
+                    if progc.enabled:
+                        ov.drain()
+                        progc.save(done_batches=bi + 1,
+                                   written=out_fp.tell(),
+                                   payload_sizes=np.asarray(payload_sizes,
+                                                            np.int64))
                 ov.drain()
         finally:
             ov.close()
+        progc.clear()
     except ShafaError as e:
         e.stage = "c"
         raise

@@ -108,6 +108,52 @@ def test_streaming_decode_frame_count_mismatch(tmp_path, monkeypatch):
                                 backend=backend)
 
 
+def test_streaming_resume_after_crash(tmp_path, monkeypatch):
+    """Block-level restart (SURVEY §5.3): kill the run mid-stream, rerun,
+    and get byte-identical outputs without re-encoding completed batches."""
+    data = mixed(700_000, seed=51)
+    pa = _write(tmp_path, "crash.bin", data)
+    pb = _write(tmp_path, "clean.bin", data)
+    block = 64 << 10
+    monkeypatch.setattr(pipeline, "STREAM_THRESHOLD", 1024)
+    from shafa_tpu import device
+    monkeypatch.setattr(device, "MAX_BATCH_ELEMS", block * 2)
+
+    class Crashing(JaxBackend):
+        calls = 0
+
+        def fused_encode(self, blocks):
+            Crashing.calls += 1
+            if Crashing.calls == 3:
+                raise RuntimeError("injected crash")
+            return super().fused_encode(blocks)
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipeline.compress_pipeline(pa, False, False, block, Crashing())
+    assert os.path.exists(pa + ".rle.progress")  # restart state retained
+
+    encoded = []
+
+    class Counting(JaxBackend):
+        def fused_encode(self, blocks):
+            encoded.append(len(blocks))
+            return super().fused_encode(blocks)
+
+    shaf_a, _ = pipeline.compress_pipeline(pa, False, False, block,
+                                           Counting())
+    resumed_batches = len(encoded)
+    shaf_b, _ = pipeline.compress_pipeline(pb, False, False, block,
+                                           JaxBackend())
+    assert not os.path.exists(pa + ".rle.progress")  # cleared on success
+    for ext in (".rle", ".rle.freq", ".rle.cod", ".rle.shaf"):
+        with open(pa + ext, "rb") as fa, open(pb + ext, "rb") as fb:
+            assert fa.read() == fb.read(), f"{ext}: resumed != clean"
+    # the resumed run skipped the 2 durably-completed batches
+    n_batches = -(-pipeline.geometry.geometry_for_file(
+        pb, block).n_blocks // 2)
+    assert resumed_batches == n_batches - 2
+
+
 def test_streaming_incompressible_n_mode(tmp_path, monkeypatch):
     rng = np.random.default_rng(33)
     data = rng.integers(0, 256, 300_000, dtype=np.uint8).tobytes()
