@@ -200,12 +200,16 @@ def device_decode_seconds(data: bytes) -> tuple[float, int]:
     for s in geo.sizes():
         blocks.append(raw[pos:pos + s])
         pos += s
-    enc_blocks = [oracle.rle_encode(b) for b in blocks]
-    hists = np.stack([oracle.histogram(e) for e in enc_blocks]) \
-        .astype(np.int64)
-    tables = codes_mod.build_code_tables(hists)
-    payloads = [oracle.pack(e, tables.lens[i], tables.vals[i])
-                for i, e in enumerate(enc_blocks)]
+    import concurrent.futures as cf
+    with cf.ThreadPoolExecutor() as ex:  # numpy releases the GIL
+        enc_blocks = list(ex.map(oracle.rle_encode, blocks))
+        hists = np.stack(list(ex.map(oracle.histogram, enc_blocks))) \
+            .astype(np.int64)
+        tables = codes_mod.build_code_tables(hists)
+        payloads = list(ex.map(
+            lambda ie: oracle.pack(ie[1], tables.lens[ie[0]],
+                                   tables.vals[ie[0]]),
+            enumerate(enc_blocks)))
     counts = [e.size for e in enc_blocks]
 
     pblocks = [np.frombuffer(p, np.uint8) for p in payloads]
