@@ -16,6 +16,11 @@ import time
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
 SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 64 << 20
 BLOCK = int(sys.argv[2]) if len(sys.argv) > 2 else 8 << 20
 REPS = int(os.environ.get("SHAFA_BENCH_REPS", 3))

@@ -345,13 +345,21 @@ S2_TILE = 2048
 
 
 def _stage2_kernel(plen_ref, cnt_ref, ln_ref, sym_ref,
-                   v1_ref, v2_ref, l1_ref, l2_ref, under_ref, smem,
+                   out_ref, under_ref, stage, ustage, sem, usem, smem,
                    *, s_states, t_lanes):
-    """Grid (B, n_tiles). smem: [0]=entry state, [1]=emitted symbol count."""
+    """Grid (B, n_tiles). smem: [0]=entry state, [1]=emitted symbol count.
+
+    Outputs go through manual DMA from VMEM staging (stage (4, T): rows
+    val1, val2, len1, len2; ustage (1, 1): underrun flag): blocked (1, T)
+    output specs over (1, B*P) arrays force a sub-tile read-modify-write of
+    the (8, 128)-tiled destination on EVERY grid step — measured ~5.6 ms
+    per step on v5e (the whole kernel ran at 0.1 MB/s); the manual-DMA
+    variant of the same trivial kernel measured ~1.8 us/step."""
     r = pl.program_id(0)
     t_idx = pl.program_id(1)
     plen = plen_ref[r]
     cnt = cnt_ref[r]
+    n_tiles = pl.num_programs(1)
     last_tile = jnp.maximum((plen + t_lanes - 1) // t_lanes - 1, 0)
 
     @pl.when(t_idx == 0)
@@ -359,10 +367,8 @@ def _stage2_kernel(plen_ref, cnt_ref, ln_ref, sym_ref,
         smem[0] = 0
         smem[1] = 0
 
-    @pl.when((t_idx == 0) & (r == 0))
-    def _init_under():
-        under_ref[...] = jnp.zeros_like(under_ref)
-
+    # Tiles past the row's data are skipped entirely: their out region is
+    # never written, and every consumer masks lanes by row length.
     @pl.when(t_idx <= last_tile)
     def _body():
         lnp = jnp.clip(ln_ref[...].astype(jnp.int32), 1, s_states - 1)
@@ -383,17 +389,21 @@ def _stage2_kernel(plen_ref, cnt_ref, ln_ref, sym_ref,
                   for s in range(8, s_states)]
         F = jnp.concatenate(E + consts, axis=0)  # (S, T)
 
-        # Hillis-Steele inclusive composition scan over lanes
-        k = 1
-        while k < t_lanes:
+        # Hillis-Steele inclusive composition scan over lanes. fori_loop
+        # with a dynamic roll shift keeps the MLIR to ONE unrolled 16-way
+        # select: the fully unrolled form (rounds x s_states selects on
+        # (S, T) values) OOM-killed the Mosaic compiler at t_lanes=2048.
+        def scan_round(i, F):
+            k = jnp.int32(1) << i
             Fr = pltpu.roll(F, k, 1)  # F_{j-k} into lane j
             sel = jnp.zeros_like(F)
             for t in range(s_states):
                 sel = jnp.where(Fr == t,
                                 jnp.broadcast_to(F[t:t + 1, :],
                                                  (s_states, t_lanes)), sel)
-            F = jnp.where(lane >= k, sel, F)
-            k *= 2
+            return jnp.where(lane >= k, sel, F)
+
+        F = jax.lax.fori_loop(0, (t_lanes - 1).bit_length(), scan_round, F)
 
         # orbit of the carried entry state
         q0 = smem[0]
@@ -442,15 +452,29 @@ def _stage2_kernel(plen_ref, cnt_ref, ln_ref, sym_ref,
                     32 - bits, jnp.uint32), jnp.uint32(0))
             return pltpu.bitcast(val & mask, jnp.int32), bits
 
-        v1_ref[...], l1_ref[...] = pack4(0)
-        v2_ref[...], l2_ref[...] = pack4(4)
+        v1, l1 = pack4(0)
+        v2, l2 = pack4(4)
+        stage[0:1, :] = v1
+        stage[1:2, :] = v2
+        stage[2:3, :] = l1
+        stage[3:4, :] = l2
+        cp = pltpu.make_async_copy(
+            stage, out_ref.at[:, pl.ds((r * n_tiles + t_idx) * t_lanes,
+                                       t_lanes)], sem)
+        cp.start()
+        cp.wait()
 
         @pl.when(t_idx == last_tile)
         def _final():
+            # one 512 B row per block row: a lane-sized (4 B) DMA is below
+            # Mosaic's transfer granularity
             total = jnp.sum(jnp.where(lane1 == t_lanes - 1, cum, 0))
-            flag = (total < cnt).astype(jnp.int32)
-            b_ids = jax.lax.broadcasted_iota(jnp.int32, under_ref.shape, 1)
-            under_ref[...] = jnp.where(b_ids == r, flag, under_ref[...])
+            ustage[...] = jnp.broadcast_to(
+                (total < cnt).astype(jnp.int32).reshape(1, 1), (1, 128))
+            ucp = pltpu.make_async_copy(
+                ustage, under_ref.at[:, pl.ds(r * 128, 128)], usem)
+            ucp.start()
+            ucp.wait()
 
 
 def _cumsum_1d(x):
@@ -485,26 +509,30 @@ def _stage2_chain_pallas(ln: jnp.ndarray, sym: jnp.ndarray,
         .reshape(8, b * p)
     kern = functools.partial(_stage2_kernel, s_states=s_states, t_lanes=t)
     plane = pl.BlockSpec((8, t), lambda r_, t_, *_: (0, r_ * n_tiles + t_))
-    flat = pl.BlockSpec((1, t), lambda r_, t_, *_: (0, r_ * n_tiles + t_))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # payload_lens, out_counts
         grid=(b, n_tiles),
         in_specs=[plane, plane],
-        out_specs=[flat, flat, flat, flat,
-                   pl.BlockSpec((1, b), lambda r_, t_, *_: (0, 0))],
-        scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[pltpu.VMEM((4, t), jnp.int32),
+                        pltpu.VMEM((1, 128), jnp.int32),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SMEM((2,), jnp.int32)],
     )
-    shp = jax.ShapeDtypeStruct((1, b * p), jnp.int32)
-    v1, v2, l1, l2, under = pl.pallas_call(
+    packs, under = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[shp, shp, shp, shp,
-                   jax.ShapeDtypeStruct((1, b), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((4, b * p), jnp.int32),
+                   jax.ShapeDtypeStruct((1, b * 128), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(payload_lens.astype(jnp.int32), out_counts.astype(jnp.int32),
       ln8, sym8)
-    return (v1.reshape(b, p), v2.reshape(b, p), l1.reshape(b, p),
-            l2.reshape(b, p), under[0] > 0)
+    return (packs[0].reshape(b, p), packs[1].reshape(b, p),
+            packs[2].reshape(b, p), packs[3].reshape(b, p),
+            under[0, ::128] > 0)
 
 
 def decode_stage2_scan(ln: jnp.ndarray, sym: jnp.ndarray,
