@@ -310,6 +310,141 @@ def decode_stage2(ln: jnp.ndarray, sym: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Stage 1 v2: Pallas rank kernel (codes <= 16 bits)
+# ---------------------------------------------------------------------------
+#
+# The XLA rank formulation above materializes its one-hot / fetched-row
+# temporaries in HBM (~6 KB of (B, N, 16) f32 traffic per payload byte —
+# measured 0.12 GB/s on v5e, pure bandwidth). This kernel runs the same
+# hierarchical rank with every temporary in VMEM. It exploits one extra
+# structural fact: for codes <= 16 bits the left-aligned values have all
+# information in their top 16 bits (prefix-freedom makes the 16-bit
+# prefixes distinct), so windows and thresholds shrink to u16 and every
+# fetched table value fits 8 bits — exact under the MXU's default-precision
+# bf16 multiplies, so the fetch matmul runs single-pass.
+
+#: rank kernel tile width in payload bytes
+RANK_TILE = 2048
+
+
+def rank_tables(tab: dict):
+    """decode_tables_batch dict -> (piv16 (B*16,) i32, ncodes (B,) i32,
+    ftab (B, 66, 16) f32) for the rank kernel. Codes must be <= 16 bits."""
+    pc = np.asarray(tab["pc"])
+    b = pc.shape[0]
+    pc16 = (pc >> np.uint32(16)).astype(np.int64)  # (B, 256)
+    rows2d = pc16.reshape(b, 16, 16)               # [b, group, j]
+    ftab = np.zeros((b, 66, 16), np.float32)
+    ftab[:, 0:16] = (rows2d >> 8).transpose(0, 2, 1)      # [b, j, group]
+    ftab[:, 16:32] = (rows2d & 0xFF).transpose(0, 2, 1)
+    ftab[:, 32:48] = np.asarray(tab["dlen2d"]).transpose(0, 2, 1)
+    ftab[:, 48:64] = np.asarray(tab["dsym2d"]).transpose(0, 2, 1)
+    ftab[:, 64] = np.asarray(tab["plen"])                 # <= 32
+    ftab[:, 65] = np.asarray(tab["psym"])                 # <= 255
+    piv16 = np.ascontiguousarray(pc16[:, ::16]).astype(np.int32).ravel()
+    return piv16, np.asarray(tab["n_codes"]).astype(np.int32), ftab
+
+
+@jax.jit
+def windows32_bytes(payload: jnp.ndarray) -> jnp.ndarray:
+    """(B, P) uint8 -> (B, P) i32: bytes j..j+3 big-endian (zero-padded)."""
+    by = payload.astype(jnp.uint32)
+
+    def sh(k):
+        return jnp.pad(by[:, k:], ((0, 0), (0, k)))
+
+    w = (by << 24) | (sh(1) << 16) | (sh(2) << 8) | sh(3)
+    return jax.lax.bitcast_convert_type(w, jnp.int32)
+
+
+def _rank_kernel(piv_ref, nc_ref, w_ref, ftab_ref,
+                 ln_out, sym_out, st_ln, st_sym, sem_a, sem_b,
+                 *, t_lanes):
+    """Grid (B, n_tiles): (1, T) byte windows -> (8, T) i8 len/sym planes.
+
+    Per bit offset s: 16-bit window -> coarse group via 16 SMEM pivots ->
+    one (66, 16) x (16, T) fetch matmul (thresholds in 8-bit halves, len/sym
+    prefix deltas) -> in-group compare mask -> prefix-delta dot products.
+    Output planes land via manual DMA (see _stage2_kernel for why blocked
+    sub-tile output specs are unusable)."""
+    r = pl.program_id(0)
+    t_idx = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    nc = nc_ref[r]
+    w32 = pltpu.bitcast(w_ref[...], jnp.uint32)  # (1, T)
+    tab = ftab_ref[0]                            # (66, 16) f32
+    i16sub = jax.lax.broadcasted_iota(jnp.int32, (16, t_lanes), 0)
+    for s in range(8):
+        w16 = pltpu.bitcast((w32 << s) >> 16, jnp.int32) & 0xFFFF
+        acc = jnp.zeros((1, t_lanes), jnp.int32)
+        for t in range(16):
+            ok = (w16 >= piv_ref[r * 16 + t]) & (t * 16 < nc)
+            acc = acc + ok.astype(jnp.int32)
+        c1 = jnp.maximum(acc - 1, 0)
+        oh = (jnp.broadcast_to(c1, (16, t_lanes)) == i16sub) \
+            .astype(jnp.float32)
+        # default precision: every table value <= 255, exact in bf16
+        fetched = jax.lax.dot_general(
+            tab, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (66, T)
+        rows = fetched[0:16] * 256.0 + fetched[16:32]
+        gidx = c1 * 16 + i16sub
+        ge = ((w16.astype(jnp.float32) >= rows) & (gidx < nc)) \
+            .astype(jnp.float32)
+        ln = jnp.sum(ge * fetched[32:48], axis=0, keepdims=True) \
+            + fetched[64:65]
+        sym = jnp.sum(ge * fetched[48:64], axis=0, keepdims=True) \
+            + fetched[65:66]
+        st_ln[s:s + 1, :] = ln.astype(jnp.int32).astype(jnp.int8)
+        st_sym[s:s + 1, :] = sym.astype(jnp.int32).astype(jnp.int8)
+    off = (r * n_tiles + t_idx) * t_lanes
+    cp_a = pltpu.make_async_copy(st_ln, ln_out.at[:, pl.ds(off, t_lanes)],
+                                 sem_a)
+    cp_b = pltpu.make_async_copy(st_sym, sym_out.at[:, pl.ds(off, t_lanes)],
+                                 sem_b)
+    cp_a.start()
+    cp_b.start()
+    cp_a.wait()
+    cp_b.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def rank_planes_pallas(w32: jnp.ndarray, piv16: jnp.ndarray,
+                       ncodes: jnp.ndarray, ftab: jnp.ndarray,
+                       interpret: bool = False):
+    """(B, P) byte windows -> ((8, B*P) i8 len planes, (8, B*P) i8 sym
+    planes) in _stage2_kernel's plane layout (plane s, lane r*P + j)."""
+    b, p = w32.shape
+    t = min(RANK_TILE, p)
+    n_tiles = p // t
+    kern = functools.partial(_rank_kernel, t_lanes=t)
+    w_flat = w32.reshape(1, b * p)  # (1, T) blocks need a 1-row array
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # piv16, ncodes
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, t), lambda r_, t_, *_: (0, r_ * n_tiles + t_)),
+            pl.BlockSpec((1, 66, 16), lambda r_, t_, *_: (r_, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[pltpu.VMEM((8, t), jnp.int8),
+                        pltpu.VMEM((8, t), jnp.int8),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    shp = jax.ShapeDtypeStruct((8, b * p), jnp.int8)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[shp, shp],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(piv16.astype(jnp.int32), ncodes.astype(jnp.int32), w_flat,
+      ftab.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
 # Stage 2 v3: in-kernel FSM + replay (Pallas) + Pallas emission
 # ---------------------------------------------------------------------------
 #
@@ -498,8 +633,6 @@ def _stage2_chain_pallas(ln: jnp.ndarray, sym: jnp.ndarray,
     each (B, P) int32, plus the underrun flag (B,) bool."""
     b, nslots = ln.shape
     p = nslots // 8
-    t = min(S2_TILE, p)
-    n_tiles = p // t
     # plane-major (B, 8P) -> (8, B*P) int8: each tile loads one (8, T)
     # block per array (sublane dim 8 satisfies Mosaic's block rules; i8
     # halves the kernel's input traffic)
@@ -507,6 +640,16 @@ def _stage2_chain_pallas(ln: jnp.ndarray, sym: jnp.ndarray,
         .reshape(8, b * p)
     sym8 = sym.reshape(b, 8, p).transpose(1, 0, 2).astype(jnp.int8) \
         .reshape(8, b * p)
+    return _stage2_chain_planes(ln8, sym8, b, p, payload_lens, out_counts,
+                                s_states, interpret)
+
+
+def _stage2_chain_planes(ln8, sym8, b, p, payload_lens, out_counts,
+                         s_states, interpret=False):
+    """_stage2_chain_pallas core on prebuilt (8, B*P) i8 planes (the rank
+    kernel emits this layout directly — no XLA transpose)."""
+    t = min(S2_TILE, p)
+    n_tiles = p // t
     kern = functools.partial(_stage2_kernel, s_states=s_states, t_lanes=t)
     plane = pl.BlockSpec((8, t), lambda r_, t_, *_: (0, r_ * n_tiles + t_))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -546,9 +689,16 @@ def decode_stage2_scan(ln: jnp.ndarray, sym: jnp.ndarray,
     batch's max code length (callers pick 8/16/32 and route longer codes to
     the oracle). Row r's decoded bytes are out[r, :out_counts[r]]; bytes
     past that are unspecified."""
-    from .emit_pallas import emit_bits_rows
     val1, val2, len1, len2, underrun = _stage2_chain_pallas(
         ln, sym, payload_lens, out_counts, s_states, interpret=interpret)
+    rows = _emit_packs(val1, val2, len1, len2, payload_lens, stride_words,
+                       interpret)
+    return rows, underrun
+
+
+def _emit_packs(val1, val2, len1, len2, payload_lens, stride_words,
+                interpret):
+    from .emit_pallas import emit_bits_rows
 
     # interleave to (B, 2P) byte-lane order: lane 2j = first 4 syms of
     # byte j, lane 2j+1 = the rest. Built with interior-padded lax.pad —
@@ -562,8 +712,26 @@ def decode_stage2_scan(ln: jnp.ndarray, sym: jnp.ndarray,
 
     vals = jax.lax.bitcast_convert_type(interleave(val1, val2), jnp.uint32)
     lens = interleave(len1, len2)
-    rows = emit_bits_rows(vals, lens, 2 * payload_lens, stride_words,
+    return emit_bits_rows(vals, lens, 2 * payload_lens, stride_words,
                           interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("s_states", "stride_words", "interpret"))
+def _decode_fused_tpu(payload, payload_lens, piv16, ncodes, ftab,
+                      out_counts, s_states, stride_words,
+                      interpret: bool = False):
+    """All-Pallas decode for codes <= 16 bits: rank kernel -> FSM kernel ->
+    emission. Replaces the XLA stage1 (0.12 GB/s, HBM-bound on one-hot
+    temporaries) for the common case."""
+    b, p = payload.shape
+    w32 = windows32_bytes(payload)
+    ln8, sym8 = rank_planes_pallas(w32, piv16, ncodes, ftab,
+                                   interpret=interpret)
+    val1, val2, len1, len2, underrun = _stage2_chain_planes(
+        ln8, sym8, b, p, payload_lens, out_counts, s_states, interpret)
+    rows = _emit_packs(val1, val2, len1, len2, payload_lens, stride_words,
+                       interpret)
     return rows, underrun
 
 
@@ -588,15 +756,25 @@ def decode_batch(payload: jnp.ndarray, payload_lens: jnp.ndarray,
     the TPU path). Platform dispatch like the encode kernels: FSM scan +
     Pallas emission on TPU, pointer-doubling gathers elsewhere."""
     from .dispatch import pallas_interpret, use_pallas_emit
-    ln, sym = _stage1_jit(payload, tables)
     if use_pallas_emit():
         s_states = 8 if max_len <= 8 else (16 if max_len <= 16 else 32)
         stride_bytes = max(out_p, 512)
+        if max_len <= 16:
+            # all-Pallas: rank kernel + FSM + emission
+            piv16, ncodes, ftab = rank_tables(tables)
+            rows, under = _decode_fused_tpu(
+                jnp.asarray(payload), jnp.asarray(payload_lens),
+                piv16, ncodes, ftab, jnp.asarray(out_counts),
+                s_states=s_states, stride_words=stride_bytes // 4,
+                interpret=pallas_interpret())
+            return rows[:, :out_p], under
+        ln, sym = _stage1_jit(payload, tables)
         rows, under = _stage2_scan_jit(
             ln, sym, payload_lens, out_counts,
             stride_words=stride_bytes // 4, s_states=s_states,
             interpret=pallas_interpret())
         return rows[:, :out_p], under
+    ln, sym = _stage1_jit(payload, tables)
     return _stage2_jit(ln, sym, payload_lens, out_counts, out_p=out_p)
 
 

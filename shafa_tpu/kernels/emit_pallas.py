@@ -89,6 +89,50 @@ def _lut256(x_i32, tab2d_f32, oh_hi, oh_lo):
     return jnp.sum(mid * oh_lo, axis=0, keepdims=True).astype(jnp.int32)
 
 
+#: stacked-LUT quarter tables: len, hi>>8, hi&255, lo>>8, lo&255
+N_LUT_Q = 5
+
+
+def _stack_luts(lut_len, lut_hi, lut_lo):
+    """(B, 256) len / 16-bit-half tables -> (B, 80, 16) f32 stacked table.
+
+    Row q*16+lo holds quarter-table q over the LOW nibble, columns are the
+    HIGH nibble, so ONE default-precision matmul against the high-nibble
+    one-hot fetches all five quarters: every entry is <= 255, exact under
+    the MXU's bf16 multiplies — the three separate Precision.HIGHEST
+    matmuls this replaces each cost 6 MXU passes.
+    """
+    def q(t):  # (B, 256) -> (B, 16, 16) [b, lo, hi]
+        return t.reshape(-1, 16, 16).transpose(0, 2, 1).astype(jnp.float32)
+
+    return jnp.concatenate(
+        [q(lut_len), q(lut_hi >> 8), q(lut_hi & 0xFF),
+         q(lut_lo >> 8), q(lut_lo & 0xFF)], axis=1)
+
+
+def _lut256_stacked(tabs_f32, oh_hi, oh_lo):
+    """All five quarter-LUTs in one bf16-exact matmul: (ln, val) per lane.
+
+    tabs_f32 (80, 16) from _stack_luts; oh_hi/oh_lo (16, T). Returns
+    ln (1, T) int32 and val (1, T) uint32 (left-aligned code)."""
+    mid = jax.lax.dot_general(
+        tabs_f32, oh_hi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (80, T): [q*16+lo, i]
+
+    def pick(qi):
+        part = mid[qi * 16:(qi + 1) * 16] * oh_lo
+        return jnp.sum(part, axis=0, keepdims=True)  # (1, T) f32
+
+    ln = pick(0).astype(jnp.int32)
+
+    def u16(hi8, lo8):  # exact f32 integers <= 255 -> u32 halfword
+        return pltpu.bitcast((hi8 * 256.0 + lo8).astype(jnp.int32),
+                             jnp.uint32)
+
+    val = (u16(pick(1), pick(2)) << 16) | u16(pick(3), pick(4))
+    return ln, val
+
+
 def _byteswap32_u(x_u32):
     """Per-word byte swap: MSB-first bitstream -> little-endian u32 buffer,
     so the downloaded buffer viewed as uint8 is the file byte stream."""
@@ -99,12 +143,12 @@ def _byteswap32_u(x_u32):
 def _emit_kernel(row_len_ref, woff_ref, *args, lut, t_lanes):
     """Grid (B, n_tiles). See module docstring.
 
-    args (lut=True):  x, lut_len, lut_hi, lut_lo, out, pagebuf, sem, smem
+    args (lut=True):  x, tabs (1, 80, 16) f32, out, pagebuf, sem, smem
     args (lut=False): val, bitlen, out, pagebuf, sem, smem
     smem: [0]=carry_bits [1]=flushed_pages [2]=carry_word (i32 bits)
     """
     if lut:
-        x_ref, len_ref, hi_ref, lo_ref, out_ref, pagebuf, sem, smem = args
+        x_ref, tabs_ref, out_ref, pagebuf, sem, smem = args
     else:
         val_ref, bitlen_ref, out_ref, pagebuf, sem, smem = args
     w_span = t_lanes + 2
@@ -140,11 +184,7 @@ def _emit_kernel(row_len_ref, woff_ref, *args, lut, t_lanes):
                 .astype(jnp.float32)
             oh_lo = (jnp.broadcast_to(xi & 15, (16, t_lanes)) == k16) \
                 .astype(jnp.float32)
-            ln = _lut256(xi, len_ref[0].astype(jnp.float32), oh_hi, oh_lo)
-            vhi = _lut256(xi, hi_ref[0].astype(jnp.float32), oh_hi, oh_lo)
-            vlo = _lut256(xi, lo_ref[0].astype(jnp.float32), oh_hi, oh_lo)
-            val = (pltpu.bitcast(vhi, jnp.uint32) << 16) \
-                | pltpu.bitcast(vlo, jnp.uint32)
+            ln, val = _lut256_stacked(tabs_ref[0], oh_hi, oh_lo)
         else:
             val = pltpu.bitcast(val_ref[...], jnp.uint32)
             ln = bitlen_ref[...]
@@ -275,9 +315,7 @@ def _emit_call(lut: bool, b: int, p: int, out_words: int, t_lanes: int,
     if lut:
         in_specs = [
             flat,
-            pl.BlockSpec((1, 16, 16), lambda r, t, *_: (r, 0, 0)),
-            pl.BlockSpec((1, 16, 16), lambda r, t, *_: (r, 0, 0)),
-            pl.BlockSpec((1, 16, 16), lambda r, t, *_: (r, 0, 0)),
+            pl.BlockSpec((1, 16 * N_LUT_Q, 16), lambda r, t, *_: (r, 0, 0)),
         ]
     else:
         in_specs = [flat, flat]
@@ -348,9 +386,9 @@ def emit_coded(x: jnp.ndarray, row_lens: jnp.ndarray,
     call = _emit_call(True, b, p, out_words, t_lanes, interpret)
     return call(row_lens.astype(jnp.int32), woff_words.astype(jnp.int32),
                 x.reshape(1, b * p),
-                lut_len.reshape(b, 16, 16).astype(jnp.int32),
-                lut_hi.reshape(b, 16, 16).astype(jnp.int32),
-                lut_lo.reshape(b, 16, 16).astype(jnp.int32))
+                _stack_luts(lut_len.astype(jnp.int32),
+                            lut_hi.astype(jnp.int32),
+                            lut_lo.astype(jnp.int32)))
 
 
 @functools.partial(jax.jit, static_argnames=("stride_words", "t_lanes",
