@@ -329,12 +329,17 @@ RANK_TILE = 2048
 
 def rank_tables(tab: dict):
     """decode_tables_batch dict -> (piv16 (B*16,) i32, ncodes (B,) i32,
-    ftab (B, 66, 16) f32) for the rank kernel. Codes must be <= 16 bits."""
+    ftab (B, 72, 16) f32) for the rank kernel. Codes must be <= 16 bits
+    (asserted: longer codes would be silently truncated to their top 16
+    bits and decode garbage). Rows 66-71 are zero padding: Mosaic requires
+    the block's sublane dim to be a multiple of 8."""
     pc = np.asarray(tab["pc"])
     b = pc.shape[0]
     pc16 = (pc >> np.uint32(16)).astype(np.int64)  # (B, 256)
+    assert (pc & np.uint32(0xFFFF)).max(initial=0) == 0, \
+        "rank_tables requires all codes <= 16 bits"
     rows2d = pc16.reshape(b, 16, 16)               # [b, group, j]
-    ftab = np.zeros((b, 66, 16), np.float32)
+    ftab = np.zeros((b, 72, 16), np.float32)
     ftab[:, 0:16] = (rows2d >> 8).transpose(0, 2, 1)      # [b, j, group]
     ftab[:, 16:32] = (rows2d & 0xFF).transpose(0, 2, 1)
     ftab[:, 32:48] = np.asarray(tab["dlen2d"]).transpose(0, 2, 1)
@@ -363,7 +368,7 @@ def _rank_kernel(piv_ref, nc_ref, w_ref, ftab_ref,
     """Grid (B, n_tiles): (1, T) byte windows -> (8, T) i8 len/sym planes.
 
     Per bit offset s: 16-bit window -> coarse group via 16 SMEM pivots ->
-    one (66, 16) x (16, T) fetch matmul (thresholds in 8-bit halves, len/sym
+    one (72, 16) x (16, T) fetch matmul (thresholds in 8-bit halves, len/sym
     prefix deltas) -> in-group compare mask -> prefix-delta dot products.
     Output planes land via manual DMA (see _stage2_kernel for why blocked
     sub-tile output specs are unusable)."""
@@ -372,7 +377,7 @@ def _rank_kernel(piv_ref, nc_ref, w_ref, ftab_ref,
     n_tiles = pl.num_programs(1)
     nc = nc_ref[r]
     w32 = pltpu.bitcast(w_ref[...], jnp.uint32)  # (1, T)
-    tab = ftab_ref[0]                            # (66, 16) f32
+    tab = ftab_ref[0]                            # (72, 16) f32
     i16sub = jax.lax.broadcasted_iota(jnp.int32, (16, t_lanes), 0)
     for s in range(8):
         w16 = pltpu.bitcast((w32 << s) >> 16, jnp.int32) & 0xFFFF
@@ -424,7 +429,7 @@ def rank_planes_pallas(w32: jnp.ndarray, piv16: jnp.ndarray,
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec((1, t), lambda r_, t_, *_: (0, r_ * n_tiles + t_)),
-            pl.BlockSpec((1, 66, 16), lambda r_, t_, *_: (r_, 0, 0)),
+            pl.BlockSpec((1, 72, 16), lambda r_, t_, *_: (r_, 0, 0)),
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY)],
@@ -485,7 +490,7 @@ def _stage2_kernel(plen_ref, cnt_ref, ln_ref, sym_ref,
     """Grid (B, n_tiles). smem: [0]=entry state, [1]=emitted symbol count.
 
     Outputs go through manual DMA from VMEM staging (stage (4, T): rows
-    val1, val2, len1, len2; ustage (1, 1): underrun flag): blocked (1, T)
+    val1, val2, len1, len2; ustage (1, 128): underrun flag row): blocked (1, T)
     output specs over (1, B*P) arrays force a sub-tile read-modify-write of
     the (8, 128)-tiled destination on EVERY grid step — measured ~5.6 ms
     per step on v5e (the whole kernel ran at 0.1 MB/s); the manual-DMA
@@ -506,7 +511,11 @@ def _stage2_kernel(plen_ref, cnt_ref, ln_ref, sym_ref,
     # never written, and every consumer masks lanes by row length.
     @pl.when(t_idx <= last_tile)
     def _body():
-        lnp = jnp.clip(ln_ref[...].astype(jnp.int32), 1, s_states - 1)
+        # Clip to s_states INCLUSIVE: a code of exactly s_states bits is
+        # legal (max_len == s_states picks this kernel) and its E-table
+        # states still fit [0, s_states-1] (max e = 7 + s_states - 8).
+        # Clipping to s_states-1 corrupted all-8-bit tables at s_states=8.
+        lnp = jnp.clip(ln_ref[...].astype(jnp.int32), 1, s_states)
         symp = sym_ref[...].astype(jnp.int32) & 255  # (8, T)
 
         # E[b] = state at byte end for a boundary at bit b (backward chain)

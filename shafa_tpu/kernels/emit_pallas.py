@@ -74,21 +74,6 @@ def _cumsum_lanes(x, inclusive=True):
     return acc if inclusive else acc - x
 
 
-def _lut256(x_i32, tab2d_f32, oh_hi, oh_lo):
-    """tab[x] for byte-valued x: nibble one-hot matmuls, transpose-free.
-
-    tab2d_f32 (16, 16) = tab[hi][lo]; oh_hi/oh_lo (16, T) one-hots of the
-    nibbles (built once per tile, shared by the three tables). Layout
-    avoids any (1,T)->(T,1) relayout: mid[lo, i] = tab[x_i >> 4][lo],
-    out[i] = sum_lo mid[lo, i] * oh_lo[lo, i]. Exact for |v| < 2^24.
-    """
-    mid = jax.lax.dot_general(
-        tab2d_f32, oh_hi, (((0,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)  # (16, T): [lo, i]
-    return jnp.sum(mid * oh_lo, axis=0, keepdims=True).astype(jnp.int32)
-
-
 #: stacked-LUT quarter tables: len, hi>>8, hi&255, lo>>8, lo&255
 N_LUT_Q = 5
 

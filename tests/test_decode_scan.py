@@ -71,6 +71,43 @@ def test_scan_decode_skewed_long_codes():
     np.testing.assert_array_equal(out[0, :b0.size], b0)
 
 
+def test_scan_decode_all_8bit_codes():
+    # Uniform 256-symbol data gives every symbol an exactly-8-bit code, so
+    # max_len == s_states == 8. Regression: the FSM kernel clipped code
+    # lengths to s_states-1, corrupting every block on this boundary.
+    rng = np.random.default_rng(45)
+    b0 = np.tile(np.arange(256, dtype=np.uint8), 16)
+    rng.shuffle(b0)
+    tables, payloads = _archive([b0])
+    nz = tables.lens[0][tables.lens[0] > 0]
+    assert int(nz.max()) == 8 and int(nz.min()) == 8
+    out, under = _decode(payloads, tables, [b0.size])
+    assert not under.any()
+    np.testing.assert_array_equal(out[0, :b0.size], b0)
+
+
+def test_scan_decode_len_equals_16():
+    # Canonical complete code whose longest code is exactly 16 bits — the
+    # s_states==16 boundary of the same length clip.
+    lens_list = list(range(1, 16)) + [16, 16]  # Kraft sum == 1
+    lens = np.zeros((1, 256), np.uint8)
+    vals = np.zeros((1, 256), np.uint64)
+    code = prev = 0
+    for s, ln in enumerate(lens_list):
+        code <<= ln - prev
+        lens[0, s] = ln
+        vals[0, s] = np.uint64(code) << np.uint64(64 - ln)
+        code += 1
+        prev = ln
+    tables = codes_mod.CodeTables(lens, vals)
+    rng = np.random.default_rng(46)
+    b0 = rng.integers(0, len(lens_list), 4000).astype(np.uint8)
+    payloads = [oracle.pack(b0, tables.lens[0], tables.vals[0])]
+    out, under = _decode(payloads, tables, [b0.size])
+    assert not under.any()
+    np.testing.assert_array_equal(out[0, :b0.size], b0)
+
+
 def test_scan_decode_partial_count():
     rng = np.random.default_rng(43)
     b0 = rng.integers(0, 256, 2048, dtype=np.uint8)
