@@ -26,6 +26,7 @@ path's static bounds.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -43,7 +44,8 @@ from .kernels import rle as krle
 #: ~20x int32 intermediates; the Pallas emission path (emit_pallas.py) has
 #: none of those (its working set is the 2-page VMEM accumulator), so the
 #: cap is restored to 1<<26 — verified on-chip at (8, 8 MiB) by bench.py.
-MAX_BATCH_ELEMS = 1 << 26
+#: Env override exists for tests that force many small batches.
+MAX_BATCH_ELEMS = int(os.environ.get("SHAFA_MAX_BATCH_ELEMS", 1 << 26))
 
 #: Compacted downloads are padded to a multiple of this (few static shapes
 #: for the compact kernel, <=4 MiB slack per transfer).

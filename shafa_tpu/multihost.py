@@ -123,21 +123,6 @@ class Comm:
             [stacked[i, : int(ns[i])] for i in range(self.count)], axis=0)
 
 
-def read_block_range(path: str, sizes: list[int], rng: BlockRange
-                     ) -> list[np.ndarray]:
-    """Read only this host's blocks (single contiguous pread)."""
-    start = sum(sizes[: rng.lo])
-    nbytes = sum(sizes[rng.lo: rng.hi])
-    with open(path, "rb") as fp:
-        fp.seek(start)
-        buf = np.frombuffer(fp.read(nbytes), np.uint8)
-    out, pos = [], 0
-    for s in sizes[rng.lo: rng.hi]:
-        out.append(buf[pos: pos + s])
-        pos += s
-    return out
-
-
 def write_at(path: str, offset: int, data: bytes,
              total_size: int | None = None) -> None:
     """Positional write into a (shared-FS) file, creating/extending it.
@@ -172,6 +157,31 @@ def shaf_offsets(payload_sizes: np.ndarray) -> tuple[np.ndarray, int]:
     return offs, int(header + frame_sizes.sum())
 
 
+def _splice_spool(spool, dst_path: str, dst_off: int, total: int) -> None:
+    """Copy a local spool file into the shared output at dst_off in bounded
+    chunks (creates/extends the destination to `total` bytes)."""
+    spool.seek(0)
+    fd = os.open(dst_path, os.O_WRONLY | os.O_CREAT, 0o644)
+    try:
+        os.ftruncate(fd, total)
+        while True:
+            chunk = spool.read(64 << 20)
+            if not chunk:
+                break
+            os.pwrite(fd, chunk, dst_off)
+            dst_off += len(chunk)
+    finally:
+        os.close(fd)
+
+
+def _host_batches(rng: BlockRange, block_size: int):
+    """This host's block range cut into device-batch-sized index ranges."""
+    from .device import MAX_BATCH_ELEMS, _bucket
+    p = _bucket(block_size)
+    bsz = max(1, MAX_BATCH_ELEMS // p)
+    return [(lo, min(lo + bsz, rng.hi)) for lo in range(rng.lo, rng.hi, bsz)]
+
+
 def compress_multihost(path: str, block_size: int, backend,
                        comm: Comm | None = None,
                        force_rle: bool = False,
@@ -179,10 +189,19 @@ def compress_multihost(path: str, block_size: int, backend,
     """Modules F+T+C across hosts; byte-identical output files to the
     single-host pipeline (differential-tested in tests/test_multihost.py).
 
+    Bounded memory: each host streams its block range one device batch at a
+    time (the reference keeps one block resident, f.c:231-356; the 100 GiB /
+    16-host config cannot slurp ~6 GiB of input per host). Because a host's
+    write offset into the shared .rle/.shaf depends on every EARLIER host's
+    sizes — known only after its own pass completes — per-host bytes go to
+    a local spool file and are spliced at the gathered offset afterwards.
+
     Every host executes this same function; writes are offset-disjoint, so
     ordering between hosts is irrelevant (no barrier needed before the data
     writes; callers that must observe a complete file barrier afterwards
     via jax.experimental.multihost_utils.sync_global_devices)."""
+    import tempfile
+
     comm = comm or Comm()
     pi, pc = comm.index, comm.count
 
@@ -193,13 +212,25 @@ def compress_multihost(path: str, block_size: int, backend,
         raise FileTooSmallError(path)
     sizes = geo.sizes()
     rng = partition_blocks(geo.n_blocks, pc, pi)
-    blocks = read_block_range(path, sizes, rng)
+    batches = _host_batches(rng, block_size)
+    spool_dir = os.path.dirname(path) or "."
 
-    # Local fused encode (device-resident RLE + histograms).
-    handle = backend.fused_encode(blocks)
-    my_rle_sizes = backend.fused_rle_sizes(handle)
+    # --- pass F: stream batches; spool RLE bytes, keep KB-scale metadata ---
+    my_rle_sizes = np.zeros(rng.n, np.int64)
+    my_rle_hists = np.zeros((rng.n, 256), np.int64)
+    rle_spool = tempfile.TemporaryFile(dir=spool_dir)
+    with open(path, "rb") as fp:
+        for lo, hi in batches:
+            blocks = _read_blocks_at(fp, sizes, lo, hi)
+            h = backend.fused_encode(blocks)
+            my_rle_sizes[lo - rng.lo: hi - rng.lo] = \
+                backend.fused_rle_sizes(h)
+            my_rle_hists[lo - rng.lo: hi - rng.lo] = \
+                backend.fused_rle_hists(h)
+            rle_spool.write(backend.fused_rle_bytes(h).tobytes())
+            del h  # free the batch's device arrays (bounded HBM)
+
     rle_sizes = comm.allgather(my_rle_sizes)
-
     # Gate from global block 0 (f.c:250-257) — every host computes the same
     # decision from the gathered sizes.
     ratio = (sizes[0] - int(rle_sizes[0])) / sizes[0]
@@ -207,20 +238,26 @@ def compress_multihost(path: str, block_size: int, backend,
 
     path_rle = formats.add_ext(path, formats.RLE_EXT)
     if compress_rle:
-        my_freqs = backend.fused_rle_hists(handle)
-        rle_bytes = backend.fused_rle_bytes(handle)
         rle_offs = np.concatenate(([0], np.cumsum(rle_sizes)))
-        write_at(path_rle, int(rle_offs[rng.lo]), rle_bytes.tobytes(),
-                 total_size=int(rle_offs[-1]))
-        freqs = comm.allgather(my_freqs)
+        _splice_spool(rle_spool, path_rle, int(rle_offs[rng.lo]),
+                      int(rle_offs[-1]))
+        freqs = comm.allgather(my_rle_hists)
         stream_sizes = rle_sizes
         mode = "R"
         if pi == 0:
             with open(formats.add_ext(path_rle, formats.FREQ_EXT),
                       "wb") as fp:
                 formats.write_freq_arrays(fp, "R", rle_sizes, freqs)
+    rle_spool.close()
     if force_freq or not compress_rle:
-        my_nfreqs = backend.fused_raw_hists(handle)
+        # Raw histograms: second streaming pass (histogram-only; happens for
+        # incompressible inputs or -c f, mirroring f.c:278-334).
+        my_nfreqs = np.zeros((rng.n, 256), np.int64)
+        with open(path, "rb") as fp:
+            for lo, hi in batches:
+                blocks = _read_blocks_at(fp, sizes, lo, hi)
+                my_nfreqs[lo - rng.lo: hi - rng.lo] = \
+                    np.stack(backend.histogram(blocks))
         nfreqs = comm.allgather(my_nfreqs)
         if pi == 0:
             with open(formats.add_ext(path, formats.FREQ_EXT), "wb") as fp:
@@ -237,22 +274,22 @@ def compress_multihost(path: str, block_size: int, backend,
             formats.write_cod_tables(fp, mode,
                                      [int(s) for s in stream_sizes], tables)
 
-    # Module C: pack local blocks against the GLOBAL table rows.
-    my_tables = codes_mod.CodeTables(
-        tables.lens[rng.lo: rng.hi], tables.vals[rng.lo: rng.hi],
-        {i - rng.lo: v for i, v in tables.overflow.items()
-         if rng.lo <= i < rng.hi})
-    if compress_rle:
-        local_offs = np.concatenate(([0], np.cumsum(my_rle_sizes)))
+    # --- pass C: stream the data stream batch-wise, pack, spool frames ----
+    stream_np = np.asarray(stream_sizes, np.int64)
+    my_psizes = np.zeros(rng.n, np.int64)
+    shaf_spool = tempfile.TemporaryFile(dir=spool_dir)
+    with open(data_path, "rb") as fp:
+        for lo, hi in batches:
+            blocks = _read_blocks_at(fp, stream_np, lo, hi)
+            sub = codes_mod.CodeTables(
+                tables.lens[lo:hi], tables.vals[lo:hi],
+                {i - lo: v for i, v in tables.overflow.items()
+                 if lo <= i < hi})
+            payloads = backend.pack(blocks, sub)
+            for j, pay in enumerate(payloads):
+                my_psizes[lo - rng.lo + j] = len(pay)
+                shaf_spool.write(shaf_frame(pay))
 
-        def host_row(i):
-            return rle_bytes[local_offs[i]: local_offs[i + 1]]
-    else:
-        def host_row(i):
-            return blocks[i]
-    payloads = backend.fused_pack(handle, my_tables, compress_rle, host_row)
-
-    my_psizes = np.array([len(p) for p in payloads], np.int64)
     psizes = comm.allgather(my_psizes)
     offs, total = shaf_offsets(psizes)
     path_shafa = formats.add_ext(data_path, formats.SHAFA_EXT)
@@ -260,35 +297,66 @@ def compress_multihost(path: str, block_size: int, backend,
         write_at(path_shafa, 0, f"@{geo.n_blocks}".encode("ascii"),
                  total_size=total)
     if rng.n:
-        blob = b"".join(shaf_frame(p) for p in payloads)
-        write_at(path_shafa, int(offs[rng.lo]), blob, total_size=total)
+        _splice_spool(shaf_spool, path_shafa, int(offs[rng.lo]), total)
+    shaf_spool.close()
     return path_shafa
+
+
+def _read_blocks_at(fp, sizes, lo: int, hi: int) -> list[np.ndarray]:
+    """Blocks [lo, hi) of an open stream whose block sizes are `sizes`
+    (one contiguous pread)."""
+    start = int(np.sum(np.asarray(sizes[:lo], np.int64)))
+    fp.seek(start)
+    buf = fp.read(int(np.sum(np.asarray(sizes[lo:hi], np.int64))))
+    out, pos = [], 0
+    for s in sizes[lo:hi]:
+        out.append(np.frombuffer(buf, np.uint8, count=int(s), offset=pos))
+        pos += int(s)
+    return out
+
+
+#: chunk size for the buffered .shaf header scan
+_SCAN_CHUNK = 1 << 20
 
 
 def scan_shaf_offsets(path: str) -> tuple[np.ndarray, np.ndarray, int]:
     """(payload_offsets, payload_sizes, n_blocks) by reading only the
     ASCII frame headers (~20 bytes per block) — the whole-archive read this
-    replaces cost H * archive_size aggregate across hosts."""
+    replaces cost H * archive_size aggregate across hosts.
+
+    Buffered: headers are matched inside 1 MiB chunks, so a small-block
+    archive (64 KiB frames) scans ~16 frames per syscall instead of one
+    seek+read pair per frame (1.6M syscalls for 100 GiB at 64 KiB). Frames
+    larger than a chunk refill with a header-sized read."""
     from .errors import FileUnrecognizableError
     import re
+    hdr = re.compile(rb"@(\d+)@")
     with open(path, "rb") as fp:
-        head = fp.read(32)
-        m = re.match(rb"@(\d+)", head)
+        buf = fp.read(_SCAN_CHUNK)
+        m = re.match(rb"@(\d+)", buf)
         if not m:
             raise FileUnrecognizableError(".shaf header")
         n_blocks = int(m.group(1))
-        pos = m.end()
+        base = 0            # file offset of buf[0]
+        pos = m.end()       # absolute offset of the next frame header
         offs = np.zeros(n_blocks, np.int64)
         sizes = np.zeros(n_blocks, np.int64)
-        hdr = re.compile(rb"@(\d+)@")
         for i in range(n_blocks):
-            fp.seek(pos)
-            m = hdr.match(fp.read(32))
+            if pos - base + 32 > len(buf):
+                # refill: big chunk while frames look small, header-sized
+                # read once a frame exceeded the chunk (avoids reading MBs
+                # of payload per 64 MiB frame)
+                want = _SCAN_CHUNK if i == 0 or sizes[i - 1] < _SCAN_CHUNK \
+                    else 32
+                fp.seek(pos)
+                buf = fp.read(want)
+                base = pos
+            m = hdr.match(buf, pos - base)
             if not m:
                 raise FileUnrecognizableError(".shaf frame header")
             sizes[i] = int(m.group(1))
-            offs[i] = pos + m.end()
-            pos = offs[i] + sizes[i]
+            offs[i] = base + m.end()
+            pos = int(offs[i] + sizes[i])
     return offs, sizes, n_blocks
 
 

@@ -940,9 +940,11 @@ def module_d_rle(path: str, backend: Backend) -> tuple[str, StageReport]:
     freq = formats.parse_freq(_open_read(formats.add_ext(path, formats.FREQ_EXT)))
     if freq.mode != "R":
         raise FileUnrecognizableError(".freq mode must be R for RLE decode")
+    path_wrt = formats.rm_ext(path)
+    if (os.path.isfile(path) and os.path.getsize(path) > STREAM_THRESHOLD):
+        return _module_d_rle_streaming(path, path_wrt, freq, backend, t0)
     blocks = _read_blocks(path, freq.block_sizes)
     out_blocks = backend.rle_expand(blocks)
-    path_wrt = formats.rm_ext(path)
     with _AtomicFile(path_wrt) as fp:
         for b in out_blocks:
             fp.write(b.tobytes())
@@ -952,5 +954,67 @@ def module_d_rle(path: str, backend: Backend) -> tuple[str, StageReport]:
         runtime_ms=(time.perf_counter() - t0) * 1e3,
         generated=[path_wrt],
         extra={"algo": "rle"},
+    )
+    return path_wrt, report
+
+
+def _module_d_rle_streaming(path, path_wrt, freq, backend, t0
+                            ) -> tuple[str, StageReport]:
+    """Bounded-RSS RLE-only decode: one batch of .rle blocks resident at a
+    time (the reference keeps one block, d.c:322-352), with read-ahead /
+    write-behind overlap like the .shaf streaming decode."""
+    from .device import MAX_BATCH_ELEMS, _bucket
+    block_sizes = freq.block_sizes
+    n_blocks = len(block_sizes)
+    p = _bucket(max(block_sizes) if block_sizes else 1)
+    bsz = max(1, MAX_BATCH_ELEMS // (p * 8))
+    offs = [0]
+    for s in block_sizes:
+        offs.append(offs[-1] + s)
+    sizes_after: list[int] = []
+
+    def read_batch(fp, lo, hi):
+        fp.seek(offs[lo])
+        buf = fp.read(offs[hi] - offs[lo])
+        if len(buf) < offs[hi] - offs[lo]:
+            raise FileUnrecognizableError("truncated .rle")
+        out, pos = [], 0
+        for s in block_sizes[lo:hi]:
+            out.append(np.frombuffer(buf, np.uint8, count=s, offset=pos))
+            pos += s
+        return out
+
+    try:
+        ov = _Overlap()
+        try:
+            with open(path, "rb") as in_fp, _AtomicFile(path_wrt) as out_fp:
+                done = 0
+                if n_blocks:
+                    ov.prefetch(read_batch, in_fp, 0, min(bsz, n_blocks))
+                while done < n_blocks:
+                    hi = min(done + bsz, n_blocks)
+                    blocks = ov.take()
+                    if hi < n_blocks:
+                        ov.prefetch(read_batch, in_fp, hi,
+                                    min(hi + bsz, n_blocks))
+                    out_blocks = backend.rle_expand(blocks)
+
+                    def write_batch(out_blocks=out_blocks):
+                        for b in out_blocks:
+                            out_fp.write(b.tobytes())
+                    sizes_after.extend(b.size for b in out_blocks)
+                    ov.write(write_batch)
+                    done = hi
+                ov.drain()
+        finally:
+            ov.close()
+    except OSError as e:
+        raise FileInaccessibleError(str(e)) from e
+    report = StageReport(
+        module="d", n_blocks=n_blocks, sizes_before=block_sizes,
+        sizes_after=sizes_after,
+        runtime_ms=(time.perf_counter() - t0) * 1e3,
+        generated=[path_wrt],
+        extra={"algo": "rle", "streaming": True},
     )
     return path_wrt, report

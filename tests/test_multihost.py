@@ -147,3 +147,24 @@ def test_stale_file_truncated(tmp_path):
     _run_hosts(2, lambda comm: multihost.compress_multihost(
         str(sub / "data.bin"), 32 << 10, backend, comm=comm))
     assert (sub / shaf).read_bytes() == good
+
+
+def test_scan_shaf_offsets_many_frames(tmp_path):
+    # Buffered header scan: thousands of frames spanning chunk boundaries,
+    # plus one frame larger than the scan chunk (header-sized refill path).
+    rng = np.random.default_rng(29)
+    n = 3000
+    sizes = rng.integers(1, 900, n).astype(np.int64)
+    sizes[1234] = (1 << 20) + 7777  # > _SCAN_CHUNK
+    path = str(tmp_path / "many.shaf")
+    offs_true = np.zeros(n, np.int64)
+    with open(path, "wb") as fp:
+        fp.write(f"@{n}".encode())
+        for i, s in enumerate(sizes):
+            fp.write(f"@{int(s)}@".encode())
+            offs_true[i] = fp.tell()
+            fp.write(b"\xab" * int(s))
+    offs, got_sizes, got_n = multihost.scan_shaf_offsets(path)
+    assert got_n == n
+    np.testing.assert_array_equal(got_sizes, sizes)
+    np.testing.assert_array_equal(offs, offs_true)

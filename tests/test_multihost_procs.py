@@ -90,6 +90,39 @@ def test_two_process_compress_matches_single_host(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_compress_streams_batches(tmp_path):
+    # Bounded-memory multihost compress: shrink the device batch cap so each
+    # host's 5-block range needs 5 separate batches (spool + splice path),
+    # and require byte-identical outputs to a single-host run.
+    data = mixed(600_000, seed=23)
+    pa = str(tmp_path / "mhs.bin")
+    pb = str(tmp_path / "shs.bin")
+    for p in (pa, pb):
+        with open(p, "wb") as fp:
+            fp.write(data)
+
+    os.environ["SHAFA_MAX_BATCH_ELEMS"] = "65536"  # bsz=1 at -b K
+    try:
+        _run_procs([pa, "-b", "K"])
+    finally:
+        del os.environ["SHAFA_MAX_BATCH_ELEMS"]
+
+    env = dict(os.environ)
+    env.update({"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""})
+    r = subprocess.run([sys.executable, "-m", "shafa_tpu", pb, "-b", "K",
+                        "--backend", "numpy"],
+                       env=env, cwd=REPO, capture_output=True, timeout=420)
+    assert r.returncode == 0, r.stderr
+
+    exts = [".rle", ".rle.freq", ".rle.cod", ".rle.shaf"]
+    if not os.path.exists(pa + ".rle"):
+        exts = [".freq", ".cod", ".shaf"]
+    for ext in exts:
+        with open(pa + ext, "rb") as fa, open(pb + ext, "rb") as fb:
+            assert fa.read() == fb.read(), f"{ext}: multihost != single-host"
+
+
+@pytest.mark.slow
 def test_two_process_decompress_roundtrip(tmp_path):
     data = mixed(300_000, seed=22)
     p = str(tmp_path / "rt.bin")

@@ -92,6 +92,32 @@ def test_streaming_decode_matches_resident(tmp_path, monkeypatch, seed,
         assert fp.read() == data
 
 
+def test_streaming_rle_only_decode(tmp_path, monkeypatch):
+    # RLE-only decode (-d r): the bounded streaming path must match the
+    # resident path byte-for-byte (reference one-block-resident d.c:322-352)
+    data = mixed(700_000, seed=47)
+    p = _write(tmp_path, "ronly.bin", data)
+    backend = JaxBackend()
+    pipeline.module_f(p, True, False, 64 << 10, backend)  # -c r: .rle+.freq
+    rle_path = p + ".rle"
+
+    monkeypatch.setattr(pipeline, "STREAM_THRESHOLD", 1 << 60)
+    out, rep = pipeline.module_d_rle(rle_path, backend)
+    assert "streaming" not in rep.extra
+    with open(out, "rb") as fp:
+        assert fp.read() == data
+    os.unlink(out)
+
+    from shafa_tpu import device
+    monkeypatch.setattr(pipeline, "STREAM_THRESHOLD", 1024)
+    monkeypatch.setattr(device, "MAX_BATCH_ELEMS", (64 << 10) * 8 * 2)
+    out2, rep2 = pipeline.module_d_rle(rle_path, backend)
+    assert rep2.extra.get("streaming") is True
+    assert rep2.sizes_after == rep.sizes_after
+    with open(out2, "rb") as fp:
+        assert fp.read() == data
+
+
 def test_streaming_decode_frame_count_mismatch(tmp_path, monkeypatch):
     data = mixed(300_000, seed=43)
     p = _write(tmp_path, "data.bin", data)
