@@ -34,10 +34,22 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+def _enable_compile_cache() -> None:
+    """Point jax's persistent compilation cache at the repo-local dir.
+
+    Env vars are NOT enough here: the dev harness preloads jax from a
+    sitecustomize before this file runs, so jax.config snapshots its env
+    before we could set it. config.update works post-import. Every compile
+    through the remote helper costs minutes; the cache turns reruns into
+    local file reads."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+
+_enable_compile_cache()
 
 BASELINE_MBPS = 83.1
 SIZE = int(os.environ.get("SHAFA_BENCH_SIZE", 100 * 1000 * 1000))

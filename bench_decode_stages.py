@@ -21,6 +21,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                                    ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
+# env vars alone don't work here: the dev harness preloads jax via a
+# sitecustomize before this file runs (see bench.py), so set via config too
+import jax
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
 SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 64 << 20
 BLOCK = int(sys.argv[2]) if len(sys.argv) > 2 else 8 << 20
 REPS = int(os.environ.get("SHAFA_BENCH_REPS", 3))

@@ -173,6 +173,24 @@ def _print_summary_d(r: StageReport) -> None:
     print(f"Generated file {r.generated[0]}")
 
 
+def _enable_compile_cache() -> None:
+    """Persistent compilation cache (repo-local by default, or
+    SHAFA_COMPILE_CACHE). Must be set via jax.config, not env: harnesses
+    that preload jax (sitecustomize) snapshot env before we run. On the
+    dev relay every fresh compile costs minutes; cached reruns are file
+    reads."""
+    import jax
+    path = os.environ.get(
+        "SHAFA_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass  # cache is an optimization, never a failure
+
+
 def _make_backend(opts: Options):
     if opts.backend == "numpy":
         backend = pipeline.NumpyBackend()
@@ -180,6 +198,7 @@ def _make_backend(opts: Options):
         import jax
 
         from .device import JaxBackend  # deferred: importing jax is slow
+        _enable_compile_cache()
         mesh = None
         if jax.local_device_count() > 1 and not opts.no_multithread:
             # Multi-chip host: shard the block axis over all local devices

@@ -99,14 +99,14 @@ def _slow_decode(payload, code_strings, out_count, expand: bool):
     return oracle.rle_expand(dec) if expand else dec
 
 
-def _stack_blocks(blocks, b_rows: int | None = None):
+def _stack_blocks(blocks, b_rows: int | None = None, minimum: int = 256):
     """list of 1-D uint8 -> (B, P) padded + (B,) lengths (host-side).
 
     b_rows pads the row count (extra rows have length 0 — every kernel
     masks by true length, so they produce empty outputs).
     """
     lens_l = [b.size for b in blocks]
-    p = _bucket(max(lens_l) if blocks else 1)
+    p = _bucket(max(lens_l) if blocks else 1, minimum=minimum)
     rows = b_rows if b_rows is not None else len(blocks)
     out = np.zeros((rows, p), dtype=np.uint8)
     lens = np.zeros(rows, dtype=np.int32)
@@ -588,11 +588,24 @@ class JaxBackend:
                 fast_idx.append(i)
         if not fast_idx:
             return results
+        # Split by code width: a single skewed block (codes 17-32 bits)
+        # must not drag every <=16-bit block onto the HBM-bound XLA stage1
+        # (decode.py:316-321) — each group decodes at its own state width.
+        fast16 = [i for i in fast_idx if maxlen[i] <= 16]
+        fast32 = [i for i in fast_idx if maxlen[i] > 16]
+        for group in (fast16, fast32):
+            if group:
+                self._fused_decode_group(payloads, tables, out_counts,
+                                         expand, maxlen, group, results)
+        return results
+
+    def _fused_decode_group(self, payloads, tables, out_counts, expand,
+                            maxlen, fast_idx, results) -> None:
         import jax.numpy as jnp
         decode = _decode_step()
         compact = _compact_step()
         blocks = [np.frombuffer(payloads[i], np.uint8) for i in fast_idx]
-        p = _bucket(max(b.size for b in blocks))
+        p = _bucket(max(b.size for b in blocks), minimum=1024)
         bsz = max(1, MAX_BATCH_ELEMS // (p * 8))
         counts_all = np.array([out_counts[i] for i in fast_idx], np.int32)
         out_p = _bucket(int(counts_all.max()))
@@ -602,7 +615,9 @@ class JaxBackend:
             rows = blocks[lo:lo + bsz]
             nb = len(rows)
             b_rows = _row_bucket(nb, bsz)
-            stacked, plens = _stack_blocks(rows, b_rows)
+            # payload width floor 1024: qualifies the all-Pallas v4 decode
+            # chain (decode.py requires p % 1024 == 0)
+            stacked, plens = _stack_blocks(rows, b_rows, minimum=1024)
             counts = np.zeros(b_rows, np.int32)
             counts[:nb] = counts_all[lo:lo + nb]
             tab = {}
@@ -633,4 +648,3 @@ class JaxBackend:
                 out_rows = _split_rows(flat, cts[:nb])
             for j, row in enumerate(out_rows):
                 results[fast_idx[lo + j]] = row
-        return results

@@ -363,13 +363,15 @@ def windows32_bytes(payload: jnp.ndarray) -> jnp.ndarray:
 
 
 def _rank_kernel(piv_ref, nc_ref, w_ref, ftab_ref,
-                 ln_out, sym_out, st_ln, st_sym, sem_a, sem_b,
-                 *, t_lanes):
-    """Grid (B, n_tiles): (1, T) byte windows -> (8, T) i8 len/sym planes.
+                 ls_out, st_ls, sem, *, t_lanes):
+    """Grid (B, n_tiles): (1, T) byte windows -> (8, T) i32 ls planes
+    (ls = sym | ln << 8).
 
-    Per bit offset s: 16-bit window -> coarse group via 16 SMEM pivots ->
-    one (72, 16) x (16, T) fetch matmul (thresholds in 8-bit halves, len/sym
-    prefix deltas) -> in-group compare mask -> prefix-delta dot products.
+    Per bit offset s: 16-bit window -> coarse group via ONE (16, T)
+    broadcast compare against a pivot column (built from SMEM once per
+    tile) -> one (72, 16) x (16, T) fetch matmul (thresholds in 8-bit
+    halves, len/sym prefix deltas; one-hot = adjacent-row diff of the
+    pivot compare) -> in-group compare mask -> prefix-delta dot products.
     Output planes land via manual DMA (see _stage2_kernel for why blocked
     sub-tile output specs are unusable)."""
     r = pl.program_id(0)
@@ -379,46 +381,48 @@ def _rank_kernel(piv_ref, nc_ref, w_ref, ftab_ref,
     w32 = pltpu.bitcast(w_ref[...], jnp.uint32)  # (1, T)
     tab = ftab_ref[0]                            # (72, 16) f32
     i16sub = jax.lax.broadcasted_iota(jnp.int32, (16, t_lanes), 0)
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    pivcol = jnp.zeros((16, 1), jnp.int32)
+    for t in range(16):
+        pivcol = jnp.where(rowg == t, piv_ref[r * 16 + t], pivcol)
+    grp_ok = rowg * 16 < nc  # (16, 1)
     for s in range(8):
         w16 = pltpu.bitcast((w32 << s) >> 16, jnp.int32) & 0xFFFF
-        acc = jnp.zeros((1, t_lanes), jnp.int32)
-        for t in range(16):
-            ok = (w16 >= piv_ref[r * 16 + t]) & (t * 16 < nc)
-            acc = acc + ok.astype(jnp.int32)
-        c1 = jnp.maximum(acc - 1, 0)
-        oh = (jnp.broadcast_to(c1, (16, t_lanes)) == i16sub) \
-            .astype(jnp.float32)
+        ge_piv = ((jnp.broadcast_to(w16, (16, t_lanes)) >= pivcol)
+                  & grp_ok).astype(jnp.float32)
+        # group one-hot = ge_piv[t] - ge_piv[t+1] (roll, not slice-concat:
+        # Mosaic rejects sublane concats of offset inputs); group = sum - 1
+        oh = ge_piv - jnp.where(i16sub < 15, pltpu.roll(ge_piv, 15, 0),
+                                jnp.zeros_like(ge_piv))
+        c1 = jnp.sum(ge_piv, axis=0, keepdims=True).astype(jnp.int32) - 1
+        c1 = jnp.maximum(c1, 0)
         # default precision: every table value <= 255, exact in bf16
         fetched = jax.lax.dot_general(
             tab, oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (66, T)
+            preferred_element_type=jnp.float32)  # (72, T)
         rows = fetched[0:16] * 256.0 + fetched[16:32]
         gidx = c1 * 16 + i16sub
-        ge = ((w16.astype(jnp.float32) >= rows) & (gidx < nc)) \
-            .astype(jnp.float32)
+        ge = ((jnp.broadcast_to(w16.astype(jnp.float32), (16, t_lanes))
+               >= rows) & (gidx < nc)).astype(jnp.float32)
         ln = jnp.sum(ge * fetched[32:48], axis=0, keepdims=True) \
             + fetched[64:65]
         sym = jnp.sum(ge * fetched[48:64], axis=0, keepdims=True) \
             + fetched[65:66]
-        st_ln[s:s + 1, :] = ln.astype(jnp.int32).astype(jnp.int8)
-        st_sym[s:s + 1, :] = sym.astype(jnp.int32).astype(jnp.int8)
+        st_ls[s:s + 1, :] = sym.astype(jnp.int32) \
+            | (ln.astype(jnp.int32) << 8)
     off = (r * n_tiles + t_idx) * t_lanes
-    cp_a = pltpu.make_async_copy(st_ln, ln_out.at[:, pl.ds(off, t_lanes)],
-                                 sem_a)
-    cp_b = pltpu.make_async_copy(st_sym, sym_out.at[:, pl.ds(off, t_lanes)],
-                                 sem_b)
-    cp_a.start()
-    cp_b.start()
-    cp_a.wait()
-    cp_b.wait()
+    cp = pltpu.make_async_copy(st_ls, ls_out.at[:, pl.ds(off, t_lanes)],
+                               sem)
+    cp.start()
+    cp.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def rank_planes_pallas(w32: jnp.ndarray, piv16: jnp.ndarray,
                        ncodes: jnp.ndarray, ftab: jnp.ndarray,
                        interpret: bool = False):
-    """(B, P) byte windows -> ((8, B*P) i8 len planes, (8, B*P) i8 sym
-    planes) in _stage2_kernel's plane layout (plane s, lane r*P + j)."""
+    """(B, P) byte windows -> (8, B*P) i32 combined ls planes
+    (plane s, lane r*P + j; ls = sym | ln << 8) for the v4 FSM kernel."""
     b, p = w32.shape
     t = min(RANK_TILE, p)
     n_tiles = p // t
@@ -431,18 +435,14 @@ def rank_planes_pallas(w32: jnp.ndarray, piv16: jnp.ndarray,
             pl.BlockSpec((1, t), lambda r_, t_, *_: (0, r_ * n_tiles + t_)),
             pl.BlockSpec((1, 72, 16), lambda r_, t_, *_: (r_, 0, 0)),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                   pl.BlockSpec(memory_space=pl.ANY)],
-        scratch_shapes=[pltpu.VMEM((8, t), jnp.int8),
-                        pltpu.VMEM((8, t), jnp.int8),
-                        pltpu.SemaphoreType.DMA(()),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.VMEM((8, t), jnp.int32),
                         pltpu.SemaphoreType.DMA(())],
     )
-    shp = jax.ShapeDtypeStruct((8, b * p), jnp.int8)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[shp, shp],
+        out_shape=jax.ShapeDtypeStruct((8, b * p), jnp.int32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(piv16.astype(jnp.int32), ncodes.astype(jnp.int32), w_flat,
@@ -687,6 +687,295 @@ def _stage2_chain_planes(ln8, sym8, b, p, payload_lens, out_counts,
             under[0, ::128] > 0)
 
 
+# ---------------------------------------------------------------------------
+# Stage 2 v4: dense-layout packed-nibble FSM (codes <= 16 bits)
+# ---------------------------------------------------------------------------
+#
+# v3 above runs its scan on (1, T)/(S, T) arrays whose per-byte work is one
+# LANE of a vreg: a (1, 2048) op occupies 16 vregs at 12.5% density, and the
+# S-way select composition costs ~16 selects on (16, T) values per round —
+# measured 146.5 MB/s. v4 changes both terms:
+#
+#   * DENSE LAYOUT: the tile's bytes live as an (8, TL) block (row r = bytes
+#     [r*TL, (r+1)*TL)), so every elementwise op runs at full sublane
+#     density. The scan becomes two-level: a lane scan per row (all 8 rows
+#     in parallel) + a 3-round stitch over the 8 row totals.
+#   * PACKED FUNCTIONS: a byte's FSM transition function (S <= 16 states,
+#     values < 16) packs into nibbles of two u32 words (states 0-7 / 8-15).
+#     Composition C[s] = B[A[s]] is 16 variable-shift extracts instead of
+#     16 S-wide selects — ~6x fewer VPU ops per compose.
+#
+# Input is the rank kernel's combined plane array ls (8, B*P) int32
+# (sym | ln << 8), viewed as (8, M, TL); outputs land as (4*M, TL) rows.
+
+#: dense tile lane width; a tile covers 8*S2_LANES bytes
+S2_LANES = 256
+
+#: packed identity function (state s -> s) for the row-stitch scan
+_ID_LO = 0x76543210
+_ID_HI = 0xFEDCBA98  # states 8..15 -> 8..15 (nibble values 8..15)
+
+
+def _u32(x):
+    return pltpu.bitcast(x, jnp.uint32)
+
+
+def _i32(x):
+    return pltpu.bitcast(x, jnp.int32)
+
+
+def _fsm_compose(alo, ahi, blo, bhi, s_states):
+    """C = B after A: C[s] = B[A[s]], all packed u32 nibble vectors."""
+    out_lo = jnp.zeros_like(blo)
+    out_hi = jnp.zeros_like(blo) if s_states > 8 else None
+    for s in range(s_states):
+        src = alo if s < 8 else ahi
+        a = (src >> jnp.uint32(4 * (s % 8))) & jnp.uint32(15)
+        sh = (a & jnp.uint32(7)) << jnp.uint32(2)
+        vlo = (blo >> sh) & jnp.uint32(15)
+        if s_states > 8:
+            vhi = (bhi >> sh) & jnp.uint32(15)
+            v = jnp.where(a < jnp.uint32(8), vlo, vhi)
+        else:
+            v = vlo
+        if s < 8:
+            out_lo = out_lo | (v << jnp.uint32(4 * s))
+        else:
+            out_hi = out_hi | (v << jnp.uint32(4 * (s % 8)))
+    return out_lo, out_hi
+
+
+def _fsm_eval(flo, fhi, q, s_states):
+    """Packed function applied to state q (i32 array or scalar) -> i32."""
+    qu = _u32(q) if not isinstance(q, int) else jnp.uint32(q)
+    sh = (qu & jnp.uint32(7)) << jnp.uint32(2)
+    vlo = (flo >> sh) & jnp.uint32(15)
+    if s_states > 8:
+        vhi = (fhi >> sh) & jnp.uint32(15)
+        return _i32(jnp.where(qu < jnp.uint32(8), vlo, vhi))
+    return _i32(vlo)
+
+
+def _cumsum_dense(x, tl):
+    """Row-major inclusive cumsum of an (8, tl) int32 block."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, tl), 1)
+    acc = x
+    k = 1
+    while k < tl:
+        acc = acc + jnp.where(lane >= k, pltpu.roll(acc, k, 1),
+                              jnp.zeros_like(acc))
+        k *= 2
+    tot = acc[:, tl - 1:tl]  # (8, 1) row totals
+    return acc + _row_prefix_sum(tot)
+
+
+def _row_prefix_sum(tot):
+    """(8, 1) int32 -> (8, 1) EXCLUSIVE prefix sum over rows.
+
+    Sublane rolls + masks, NOT concat-of-slices: Mosaic rejects sublane
+    concats whose inputs carry internal offsets ("result/input offset
+    mismatch on non-concat dimension")."""
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    acc = tot
+    for k in (1, 2, 4):
+        acc = acc + jnp.where(rowi >= k, pltpu.roll(acc, k, 0),
+                              jnp.zeros_like(acc))
+    return jnp.where(rowi >= 1, pltpu.roll(acc, 1, 0), jnp.zeros_like(acc))
+
+
+def _stage2_kernel_v4(plen_ref, cnt_ref, ls_ref,
+                      out_ref, under_ref, stage, ustage, sems, usem, smem,
+                      *, s_states, tl, m_rows):
+    """Grid (B, n_tiles); ls_ref (8, 8, tl) i32 block (dim0 = bit offset).
+
+    smem: [0]=entry state, [1]=emitted symbol count. Outputs: 4 manual DMAs
+    of (8, tl) staging rows into out_ref (4*M, tl) — val1 rows [0, M),
+    val2 [M, 2M), len1, len2; under_ref (1, B*128) as in v3."""
+    r = pl.program_id(0)
+    t_idx = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    plen = plen_ref[r]
+    cnt = cnt_ref[r]
+    tile_bytes = 8 * tl
+    last_tile = jnp.maximum((plen + tile_bytes - 1) // tile_bytes - 1, 0)
+
+    @pl.when(t_idx == 0)
+    def _init():
+        smem[0] = 0
+        smem[1] = 0
+
+    @pl.when(t_idx <= last_tile)
+    def _body():
+        lnp = []
+        symp = []
+        for kk in range(8):
+            ls = ls_ref[kk]  # (8, tl) i32
+            lnp.append(jnp.clip((ls >> 8) & 31, 1, s_states))
+            symp.append(ls & 255)
+
+        # E[b] = state at byte end for a boundary at bit b (backward chain)
+        E = [None] * 8
+        for bit in range(7, -1, -1):
+            nb = bit + lnp[bit]
+            e = nb - 8
+            for c in range(bit + 1, 8):
+                e = jnp.where(nb == c, E[c], e)
+            E[bit] = jnp.clip(e, 0, s_states - 1)
+
+        # pack the byte function: states 0-7 from E, 8..15 -> s-8 constant
+        flo = jnp.zeros((8, tl), jnp.uint32)
+        for s in range(8):
+            flo = flo | (_u32(E[s]) << jnp.uint32(4 * s))
+        fhi = jnp.full((8, tl), jnp.uint32(_ID_LO))  # states 8+k -> k
+
+        # per-row lane composition scan (all 8 rows in parallel)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, tl), 1)
+        k = 1
+        while k < tl:
+            arl = pltpu.roll(flo, k, 1)
+            arh = pltpu.roll(fhi, k, 1) if s_states > 8 else None
+            clo, chi = _fsm_compose(arl, arh, flo, fhi, s_states)
+            keep = lane >= k
+            flo = jnp.where(keep, clo, flo)
+            if s_states > 8:
+                fhi = jnp.where(keep, chi, fhi)
+            k *= 2
+
+        # stitch across rows: exclusive prefix of row totals, then apply.
+        # Sublane shifts are roll+identity-fill (see _row_prefix_sum).
+        hi16 = s_states > 8
+        rowc = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+        def shift_id(x, k, word):
+            return jnp.where(rowc >= k, pltpu.roll(x, k, 0),
+                             jnp.full((8, 1), jnp.uint32(word)))
+
+        plo = flo[:, tl - 1:tl]
+        phi = fhi[:, tl - 1:tl] if hi16 else None
+        for k in (1, 2, 4):
+            shl = shift_id(plo, k, _ID_LO)
+            shh = shift_id(phi, k, _ID_HI) if hi16 else None
+            plo, phi = _fsm_compose(shl, shh, plo, phi, s_states)
+        pexl = jnp.broadcast_to(shift_id(plo, 1, _ID_LO), (8, tl))
+        pexh = jnp.broadcast_to(shift_id(phi, 1, _ID_HI), (8, tl)) \
+            if hi16 else None
+        flo, fhi = _fsm_compose(pexl, pexh, flo, fhi, s_states)
+        if not hi16:
+            fhi = None
+
+        # orbit of the carried entry state; shift to per-byte ENTRY states
+        q0 = smem[0]
+        ap = _fsm_eval(flo, fhi, q0 + jnp.zeros((8, tl), jnp.int32),
+                       s_states)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (8, tl), 0)
+        lastcol = ap[:, tl - 1:tl]
+        prev_last = jnp.where(rowc >= 1, pltpu.roll(lastcol, 1, 0),
+                              jnp.zeros_like(lastcol))
+        ent = pltpu.roll(ap, 1, 1)
+        ent = jnp.where(lane == 0, jnp.broadcast_to(prev_last, (8, tl)), ent)
+        ent = jnp.where((lane == 0) & (rowi == 0), q0, ent)
+        smem[0] = jnp.sum(jnp.where((rowi == 7) & (lane == tl - 1), ap, 0))
+
+        # replay: entry state -> ordered boundary symbols of the byte
+        q = ent
+        syms = []
+        for _ in range(8):
+            is_b = q < 8
+            s_at = jnp.zeros_like(q)
+            l_at = jnp.ones_like(q)
+            for kk in range(8):
+                hit = q == kk
+                s_at = jnp.where(hit, symp[kk], s_at)
+                l_at = jnp.where(hit, lnp[kk], l_at)
+            syms.append((is_b, s_at))
+            q = jnp.where(is_b, q + l_at, q)
+        nb = sum(m.astype(jnp.int32) for m, _ in syms)
+
+        # output-count clip with the carried cumulative symbol count
+        gpos = t_idx * tile_bytes + rowi * tl + lane
+        nb = jnp.where(gpos < plen, nb, 0)
+        cum = smem[1] + _cumsum_dense(nb, tl)
+        before = cum - nb
+        allowed = jnp.clip(cnt - before, 0, nb)
+        total_cum = jnp.sum(jnp.where((rowi == 7) & (lane == tl - 1), cum, 0))
+        smem[1] = total_cum
+
+        def pack4(base):
+            val = jnp.zeros((8, tl), jnp.uint32)
+            for i in range(4):
+                if base + i < 8:
+                    _, s_at = syms[base + i]
+                    val = val | (_u32(s_at) << jnp.uint32(24 - 8 * i))
+            n = jnp.clip(allowed - base, 0, 4)
+            bits = 8 * n
+            mask = jnp.where(
+                n > 0, (~jnp.uint32(0)) << _u32(32 - bits), jnp.uint32(0))
+            return _i32(val & mask), bits
+
+        v1, l1 = pack4(0)
+        v2, l2 = pack4(4)
+        stage[0:8, :] = v1
+        stage[8:16, :] = v2
+        stage[16:24, :] = l1
+        stage[24:32, :] = l2
+        m0 = (r * n_tiles + t_idx) * 8
+        cps = []
+        for qi in range(4):
+            cp = pltpu.make_async_copy(
+                stage.at[pl.ds(qi * 8, 8), :],
+                out_ref.at[pl.ds(qi * m_rows + m0, 8), :], sems[qi])
+            cp.start()
+            cps.append(cp)
+        for cp in cps:
+            cp.wait()
+
+        @pl.when(t_idx == last_tile)
+        def _final():
+            ustage[...] = jnp.broadcast_to(
+                (total_cum < cnt).astype(jnp.int32).reshape(1, 1), (1, 128))
+            ucp = pltpu.make_async_copy(
+                ustage, under_ref.at[:, pl.ds(r * 128, 128)], usem)
+            ucp.start()
+            ucp.wait()
+
+
+def _stage2_chain_ls(ls8, b, p, payload_lens, out_counts, s_states,
+                     interpret=False):
+    """v4 chain on the rank kernel's combined (8, B*P) i32 plane array.
+
+    Returns (val1, val2, len1, len2) each (B, P) i32 + underrun (B,) bool.
+    Requires p % (8*128) == 0; callers dispatch to v3 otherwise."""
+    tl = S2_LANES if p % (8 * S2_LANES) == 0 else 128
+    n_tiles = p // (8 * tl)
+    m_rows = b * p // tl
+    kern = functools.partial(_stage2_kernel_v4, s_states=s_states, tl=tl,
+                             m_rows=m_rows)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # payload_lens, out_counts
+        grid=(b, n_tiles),
+        in_specs=[pl.BlockSpec((8, 8, tl),
+                               lambda r_, t_, *_: (0, r_ * n_tiles + t_, 0))],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[pltpu.VMEM((32, tl), jnp.int32),
+                        pltpu.VMEM((1, 128), jnp.int32),
+                        [pltpu.SemaphoreType.DMA(()) for _ in range(4)],
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SMEM((2,), jnp.int32)],
+    )
+    packs, under = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((4 * m_rows, tl), jnp.int32),
+                   jax.ShapeDtypeStruct((1, b * 128), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(payload_lens.astype(jnp.int32), out_counts.astype(jnp.int32),
+      ls8.reshape(8, b * p // tl, tl))
+    quads = packs.reshape(4, b, p)
+    return (quads[0], quads[1], quads[2], quads[3], under[0, ::128] > 0)
+
+
 def decode_stage2_scan(ln: jnp.ndarray, sym: jnp.ndarray,
                        payload_lens: jnp.ndarray, out_counts: jnp.ndarray,
                        stride_words: int, s_states: int,
@@ -730,15 +1019,15 @@ def _emit_packs(val1, val2, len1, len2, payload_lens, stride_words,
 def _decode_fused_tpu(payload, payload_lens, piv16, ncodes, ftab,
                       out_counts, s_states, stride_words,
                       interpret: bool = False):
-    """All-Pallas decode for codes <= 16 bits: rank kernel -> FSM kernel ->
-    emission. Replaces the XLA stage1 (0.12 GB/s, HBM-bound on one-hot
-    temporaries) for the common case."""
+    """All-Pallas decode for codes <= 16 bits: rank kernel -> dense v4 FSM
+    kernel -> emission. Replaces the XLA stage1 (0.12 GB/s, HBM-bound on
+    one-hot temporaries) for the common case. Requires p % 1024 == 0
+    (decode_batch dispatches smaller payloads to the XLA+v3 path)."""
     b, p = payload.shape
     w32 = windows32_bytes(payload)
-    ln8, sym8 = rank_planes_pallas(w32, piv16, ncodes, ftab,
-                                   interpret=interpret)
-    val1, val2, len1, len2, underrun = _stage2_chain_planes(
-        ln8, sym8, b, p, payload_lens, out_counts, s_states, interpret)
+    ls8 = rank_planes_pallas(w32, piv16, ncodes, ftab, interpret=interpret)
+    val1, val2, len1, len2, underrun = _stage2_chain_ls(
+        ls8, b, p, payload_lens, out_counts, s_states, interpret)
     rows = _emit_packs(val1, val2, len1, len2, payload_lens, stride_words,
                        interpret)
     return rows, underrun
@@ -768,8 +1057,8 @@ def decode_batch(payload: jnp.ndarray, payload_lens: jnp.ndarray,
     if use_pallas_emit():
         s_states = 8 if max_len <= 8 else (16 if max_len <= 16 else 32)
         stride_bytes = max(out_p, 512)
-        if max_len <= 16:
-            # all-Pallas: rank kernel + FSM + emission
+        if max_len <= 16 and payload.shape[1] % 1024 == 0:
+            # all-Pallas: rank kernel + dense v4 FSM + emission
             piv16, ncodes, ftab = rank_tables(tables)
             rows, under = _decode_fused_tpu(
                 jnp.asarray(payload), jnp.asarray(payload_lens),

@@ -199,7 +199,10 @@ def _emit_kernel(row_len_ref, woff_ref, *args, lut, t_lanes):
         # SUB_LANES-wide sub-chunk spans <= s+2 words, so placing per
         # sub-chunk into its own window and OR-merging (contributions to a
         # shared boundary word occupy disjoint bits) cuts the quadratic by
-        # T/SUB_LANES while keeping one grid step per T lanes.
+        # T/SUB_LANES while keeping one grid step per T lanes. Payload words
+        # travel as BYTE quarters: every matmul value <= 255 is exact under
+        # the MXU's default-precision bf16 multiplies — the u16 halves this
+        # replaces needed Precision.HIGHEST (6 passes per matmul).
         ws = s_lanes + 2
         lanes_reg = jax.lax.broadcasted_iota(jnp.int32, (1, reg), 1)
         wq = jax.lax.broadcasted_iota(jnp.int32, (ws, s_lanes), 0)
@@ -211,16 +214,23 @@ def _emit_kernel(row_len_ref, woff_ref, *args, lut, t_lanes):
             base_k = jnp.min(wk)  # == wk[0,0]: w is monotone
             cmp = (jnp.broadcast_to(wk - base_k, (ws, s_lanes)) == wq) \
                 .astype(jnp.float32)
+            hq = hi[:, sl]
+            lq = lo[:, sl]
             halves = jnp.concatenate(
-                [u16f(hi[:, sl] >> 16), u16f(hi[:, sl] & jnp.uint32(0xFFFF)),
-                 u16f(lo[:, sl] >> 16), u16f(lo[:, sl] & jnp.uint32(0xFFFF))],
-                axis=0)                                  # (4, s)
+                [u16f(hq >> 24), u16f((hq >> 16) & jnp.uint32(0xFF)),
+                 u16f((hq >> 8) & jnp.uint32(0xFF)),
+                 u16f(hq & jnp.uint32(0xFF)),
+                 u16f(lq >> 24), u16f((lq >> 16) & jnp.uint32(0xFF)),
+                 u16f((lq >> 8) & jnp.uint32(0xFF)),
+                 u16f(lq & jnp.uint32(0xFF))],
+                axis=0)                                  # (8, s) bytes
             placed = jax.lax.dot_general(
                 halves, cmp, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)      # (4, ws)
-            ph = (f16u(placed[0:1]) << 16) | f16u(placed[1:2])
-            plo = (f16u(placed[2:3]) << 16) | f16u(placed[3:4])
+                preferred_element_type=jnp.float32)      # (8, ws)
+            ph = (f16u(placed[0:1]) << 24) | (f16u(placed[1:2]) << 16) \
+                | (f16u(placed[2:3]) << 8) | f16u(placed[3:4])
+            plo = (f16u(placed[4:5]) << 24) | (f16u(placed[5:6]) << 16) \
+                | (f16u(placed[6:7]) << 8) | f16u(placed[7:8])
             # lo parts land one word later: shift right by 1, zero slot 0
             plo = jnp.where(wl_s >= 1, pltpu.roll(plo, 1, 1), jnp.uint32(0))
             wk_words = pltpu.bitcast(ph + plo, jnp.int32)

@@ -75,3 +75,35 @@ def test_fused_decode_roundtrip(tmp_path):
                                      backend=jb)
     with open(out, "rb") as fp:
         assert fp.read() == data
+
+
+def test_fused_decode_mixed_code_widths(tmp_path):
+    # One skewed block (codes > 16 bits) must not reroute the <=16-bit
+    # blocks off the fast decode chain: fused_decode splits the batch by
+    # code width and decodes each group at its own state width.
+    from shafa_tpu import codes as codes_mod, oracle
+
+    rng = np.random.default_rng(55)
+    a = rng.integers(0, 256, 4000, dtype=np.uint8)        # broad: <= 16 bits
+    lens_list = list(range(1, 18)) + [18, 18]             # max len 18 bits
+    lens = np.zeros((2, 256), np.uint8)
+    vals = np.zeros((2, 256), np.uint64)
+    ta = codes_mod.build_code_tables(
+        np.stack([oracle.histogram(a)]).astype(np.int64))
+    lens[0], vals[0] = ta.lens[0], ta.vals[0]
+    code = prev = 0
+    for s, ln in enumerate(lens_list):
+        code <<= ln - prev
+        lens[1, s] = ln
+        vals[1, s] = np.uint64(code) << np.uint64(64 - ln)
+        code += 1
+        prev = ln
+    tables = codes_mod.CodeTables(lens, vals)
+    assert int(tables.lens[0].max()) <= 16 < int(tables.lens[1].max())
+    b = rng.integers(0, len(lens_list), 4000).astype(np.uint8)
+    payloads = [oracle.pack(a, lens[0], vals[0]),
+                oracle.pack(b, lens[1], vals[1])]
+    jb = JaxBackend()
+    out = jb.fused_decode(payloads, tables, [a.size, b.size], expand=False)
+    np.testing.assert_array_equal(out[0], a)
+    np.testing.assert_array_equal(out[1], b)
