@@ -117,26 +117,70 @@ def main():
     tabj = {k: jax.block_until_ready(jnp.asarray(v)) for k, v in tab.items()}
     out_p = _bucket(int(counts.max()))
 
-    # --- decode stage1: per-bit rank --------------------------------------
-    timeit("decode_stage1", lambda: kdecode._stage1_jit(py, tabj),
-           packed_bytes)
-    ln_, sym_ = kdecode._stage1_jit(py, tabj)
-    jax.block_until_ready(ln_)
-
-    # --- decode stage2 scan at both state counts ---------------------------
     s_real = 8 if max_len <= 8 else (16 if max_len <= 16 else 32)
     stride_bytes = max(out_p, 512)
-    for s in sorted({s_real, 32}):
-        timeit(f"decode_stage2_scan S={s}",
-               lambda s=s: kdecode._stage2_scan_jit(
-                   ln_, sym_, pl2, ctsj,
-                   stride_words=stride_bytes // 4, s_states=s),
-               enc_bytes)
-    dec, _ = kdecode._stage2_scan_jit(ln_, sym_, pl2, ctsj,
-                                      stride_words=stride_bytes // 4,
-                                      s_states=s_real)
-    dec = dec[:, :out_p]
+    if os.environ.get("SHAFA_BENCH_V3", "0") != "0":
+        # legacy XLA stage1 + v3 scan (the >16-bit-code fallback path)
+        timeit("decode_stage1 (xla)", lambda: kdecode._stage1_jit(py, tabj),
+               packed_bytes)
+        ln_, sym_ = kdecode._stage1_jit(py, tabj)
+        jax.block_until_ready(ln_)
+        for s in sorted({s_real, 32}):
+            timeit(f"decode_stage2_scan S={s}",
+                   lambda s=s: kdecode._stage2_scan_jit(
+                       ln_, sym_, pl2, ctsj,
+                       stride_words=stride_bytes // 4, s_states=s),
+                   enc_bytes)
+
+    # production decoded output for the expand stages below
+    from shafa_tpu.device import _decode_step
+    dec, _u = _decode_step()(py, pl2, tabj, ctsj, out_p=out_p,
+                             max_len=max_len)
     jax.block_until_ready(dec)
+
+    # --- fused v4 chain stages (production path for <=16-bit codes) --------
+    if max_len <= 16 and pstacked.shape[1] % 1024 == 0:
+        b2, p2 = pstacked.shape
+        s_real2 = 8 if max_len <= 8 else 16
+        piv16, ncodes, ftab = kdecode.rank_tables(tab)
+        pivj = jnp.asarray(piv16)
+        ncj = jnp.asarray(ncodes)
+        ftj = jnp.asarray(ftab)
+        timeit("windows32 (xla)",
+               lambda: kdecode.windows32_bytes(py), packed_bytes)
+        w32 = jax.block_until_ready(kdecode.windows32_bytes(py))
+        timeit("rank_planes (pallas)",
+               lambda: kdecode.rank_planes_pallas(w32, pivj, ncj, ftj),
+               packed_bytes)
+        ls8 = jax.block_until_ready(
+            kdecode.rank_planes_pallas(w32, pivj, ncj, ftj))
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("s_states",))
+        def fsm_only(ls, plens, cts, s_states):
+            return kdecode._stage2_chain_ls(ls, b2, p2, plens, cts, s_states)
+
+        timeit(f"fsm_v4 (pallas) S={s_real2}",
+               lambda: fsm_only(ls8, pl2, ctsj, s_states=s_real2),
+               packed_bytes)
+        v1, v2, l1, l2, _u = [jax.block_until_ready(x) for x in
+                              fsm_only(ls8, pl2, ctsj, s_states=s_real2)]
+
+        @functools.partial(jax.jit, static_argnames=("stride_words",))
+        def emit_only(a, bb, c, d, plens, stride_words):
+            return kdecode._emit_packs(a, bb, c, d, plens, stride_words,
+                                       False)
+
+        timeit("emit_packs (pallas)",
+               lambda: emit_only(v1, v2, l1, l2, pl2,
+                                 stride_words=stride_bytes // 4),
+               enc_bytes)
+        timeit("fused v4 chain (all)",
+               lambda: kdecode._decode_fused_tpu(
+                   py, pl2, pivj, ncj, ftj, ctsj, s_states=s_real2,
+                   stride_words=stride_bytes // 4),
+               packed_bytes)
 
     # --- RLE expand --------------------------------------------------------
     timeit("expand_sizes", lambda: krle.rle_expand_sizes(dec, ctsj),
