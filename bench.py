@@ -327,6 +327,17 @@ def emit_json(mbps: float, extra: dict) -> None:
 def main() -> None:
     data = synthetic(SIZE)
     extra = {}
+    # virtual-mesh scaling table recorded by bench_scaling.py (sharding-
+    # overhead validation on the CPU substrate — docs/SCALING_r05.json);
+    # carried into the bench JSON so the evidence lands with the numbers.
+    rec = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "docs", "SCALING_r05.json")
+    if os.path.isfile(rec):
+        try:
+            with open(rec) as fp:
+                extra["scaling_recorded"] = json.load(fp)
+        except Exception:
+            pass
 
     # 1. headline FIRST — everything else is additive
     dt = device_encode_seconds(data)
@@ -371,6 +382,42 @@ def main() -> None:
         except SectionTimeout:
             print("e2e section timed out (dev-relay transfers)",
                   file=sys.stderr)
+
+    # 3.5 streaming-overlap ratio: bounded-RSS streaming compress (file ->
+    # .rle/.freq/.cod/.shaf on disk, read-ahead/write-behind) vs the pure
+    # device encode rate measured in section 1. Page-cached input file, so
+    # the ratio isolates pipeline/IO overlap quality, not disk speed.
+    if os.environ.get("SHAFA_BENCH_STREAM", "1") != "0" and _remaining() > 60:
+        try:
+            with time_box(_remaining() - 15, "streaming"):
+                from shafa_tpu import pipeline
+                from shafa_tpu.device import JaxBackend
+                work = tempfile.mkdtemp(prefix="shafa_stream_")
+                try:
+                    spath = os.path.join(work, "s.bin")
+                    with open(spath, "wb") as fp:
+                        fp.write(data)
+                    backend = JaxBackend()
+                    old_thr = pipeline.STREAM_THRESHOLD
+                    pipeline.STREAM_THRESHOLD = 1  # force streaming tier
+                    try:
+                        t0 = time.perf_counter()
+                        pipeline.compress_pipeline_streaming(
+                            spath, False, False, BLOCK_SIZE, backend)
+                        sdt = time.perf_counter() - t0
+                    finally:
+                        pipeline.STREAM_THRESHOLD = old_thr
+                    smbps = SIZE / 1e6 / sdt
+                    extra["streaming_e2e_mb_s"] = round(smbps, 2)
+                    extra["streaming_vs_device"] = round(smbps / mbps, 2)
+                    print(f"streaming e2e: {sdt:.2f}s = {smbps:.1f} MB/s "
+                          f"({100 * smbps / mbps:.0f}% of device rate)",
+                          file=sys.stderr)
+                finally:
+                    shutil.rmtree(work, ignore_errors=True)
+                emit_json(mbps, extra)
+        except SectionTimeout:
+            print("streaming section timed out", file=sys.stderr)
 
     # 4. scaling harness: opt-in only (costs minutes of subprocess compiles
     # on a virtual-CPU substrate — validates sharding overhead, not speed)

@@ -939,6 +939,309 @@ def _stage2_kernel_v4(plen_ref, cnt_ref, ls_ref,
             ucp.wait()
 
 
+# --- v5: v4 + in-kernel byte emission ---------------------------------------
+#
+# v4 materializes per-byte symbol packs (val1/val2/len1/len2 — 16 B of HBM
+# per payload byte) and concatenates them through the general bit-level
+# emit kernel: measured ~85 ms of the ~95 ms chain at (2, 8 MiB). But the
+# decode output is BYTE-aligned and the FSM kernel already computes every
+# byte's output offset (the count cumsum), so v5 places the <= 8 decoded
+# bytes of each payload byte directly into a 4-page VMEM accumulator
+# (little-endian in-word, so the flat u32 buffer's u8 view is the stream)
+# and page-flushes to the row's region — one kernel, no intermediates.
+
+#: flush unit of the in-kernel decode emission, in u32 words (8 KiB)
+D_PAGE = 2048
+
+
+def _place_chunk(w0, w1, w2, wq, base_k, s_lanes):
+    """One sub-chunk's (1, s) word contributions -> (1, reg2) window at
+    base_k. wq monotone; word k gets byte-quarter sums via one bf16-exact
+    matmul; w1/w2 land one/two words later (post-matmul rolls)."""
+    ws = 2 * s_lanes + 3
+    reg2 = (ws + 127 + 127) & ~127
+
+    def u8f(z):
+        return pltpu.bitcast(z, jnp.int32).astype(jnp.float32)
+
+    def f8u(z):
+        return pltpu.bitcast(z.astype(jnp.int32), jnp.uint32)
+
+    wqv = jax.lax.broadcasted_iota(jnp.int32, (ws, s_lanes), 0)
+    cmp = (jnp.broadcast_to(wq - base_k, (ws, s_lanes)) == wqv) \
+        .astype(jnp.float32)
+    halves = jnp.concatenate(
+        [u8f(w & jnp.uint32(0xFF)) for w in (w0, w1, w2)]
+        + [u8f((w >> 8) & jnp.uint32(0xFF)) for w in (w0, w1, w2)]
+        + [u8f((w >> 16) & jnp.uint32(0xFF)) for w in (w0, w1, w2)]
+        + [u8f(w >> 24) for w in (w0, w1, w2)], axis=0)  # (12, s)
+    placed = jax.lax.dot_general(
+        halves, cmp, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (12, ws)
+
+    def word(i):  # little-endian reassembly of contribution word i
+        return (f8u(placed[i:i + 1]) | (f8u(placed[3 + i:4 + i]) << 8)
+                | (f8u(placed[6 + i:7 + i]) << 16)
+                | (f8u(placed[9 + i:10 + i]) << 24))
+
+    wl = jax.lax.broadcasted_iota(jnp.int32, (1, ws), 1)
+    p0 = word(0)
+    p1 = jnp.where(wl >= 1, pltpu.roll(word(1), 1, 1), jnp.uint32(0))
+    p2 = jnp.where(wl >= 2, pltpu.roll(word(2), 2, 1), jnp.uint32(0))
+    merged = pltpu.bitcast(p0 | p1 | p2, jnp.int32)
+    lanes_reg = jax.lax.broadcasted_iota(jnp.int32, (1, reg2), 1)
+    wpad = jnp.concatenate(
+        [merged, jnp.zeros((1, reg2 - ws), jnp.int32)], axis=1)
+    return wpad, lanes_reg, reg2
+
+
+def _stage2_kernel_v5(plen_ref, cnt_ref, ls_ref,
+                      out_ref, under_ref, pagebuf, ustage, sem, usem, smem,
+                      *, s_states, tl, stride_words):
+    """v4's FSM + replay + in-kernel byte emission (see block comment).
+
+    smem: [0]=entry state, [1]=cum symbol count, [2]=flushed pages.
+    out_ref (1, B*stride_words + 4*D_PAGE) i32: row r's decoded bytes are
+    the u8 view of words [r*stride_words, ...)."""
+    r = pl.program_id(0)
+    t_idx = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    plen = plen_ref[r]
+    cnt = cnt_ref[r]
+    tile_bytes = 8 * tl
+    last_tile = jnp.maximum((plen + tile_bytes - 1) // tile_bytes - 1, 0)
+    woff = pl.multiple_of(r * stride_words, 128)
+
+    @pl.when(t_idx == 0)
+    def _init():
+        smem[0] = 0
+        smem[1] = 0
+        smem[2] = 0
+        pagebuf[...] = jnp.zeros((1, 4 * D_PAGE), jnp.int32)
+
+    @pl.when(t_idx <= last_tile)
+    def _body():
+        lnp = []
+        symp = []
+        for kk in range(8):
+            ls = ls_ref[kk]  # (8, tl) i32
+            lnp.append(jnp.clip((ls >> 8) & 31, 1, s_states))
+            symp.append(ls & 255)
+
+        E = [None] * 8
+        for bit in range(7, -1, -1):
+            nb_ = bit + lnp[bit]
+            e = nb_ - 8
+            for c in range(bit + 1, 8):
+                e = jnp.where(nb_ == c, E[c], e)
+            E[bit] = jnp.clip(e, 0, s_states - 1)
+
+        flo = jnp.zeros((8, tl), jnp.uint32)
+        for s in range(8):
+            flo = flo | (_u32(E[s]) << jnp.uint32(4 * s))
+        fhi = jnp.full((8, tl), jnp.uint32(_ID_LO))
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, tl), 1)
+        k = 1
+        while k < tl:
+            arl = pltpu.roll(flo, k, 1)
+            arh = pltpu.roll(fhi, k, 1) if s_states > 8 else None
+            clo, chi = _fsm_compose(arl, arh, flo, fhi, s_states)
+            keep = lane >= k
+            flo = jnp.where(keep, clo, flo)
+            if s_states > 8:
+                fhi = jnp.where(keep, chi, fhi)
+            k *= 2
+
+        hi16 = s_states > 8
+        rowc = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+        def shift_id(x, k, word):
+            return jnp.where(rowc >= k, pltpu.roll(x, k, 0),
+                             jnp.full((8, 1), jnp.uint32(word)))
+
+        plo = flo[:, tl - 1:tl]
+        phi = fhi[:, tl - 1:tl] if hi16 else None
+        for k in (1, 2, 4):
+            shl = shift_id(plo, k, _ID_LO)
+            shh = shift_id(phi, k, _ID_HI) if hi16 else None
+            plo, phi = _fsm_compose(shl, shh, plo, phi, s_states)
+        pexl = jnp.broadcast_to(shift_id(plo, 1, _ID_LO), (8, tl))
+        pexh = jnp.broadcast_to(shift_id(phi, 1, _ID_HI), (8, tl)) \
+            if hi16 else None
+        flo, fhi = _fsm_compose(pexl, pexh, flo, fhi, s_states)
+        if not hi16:
+            fhi = None
+
+        q0 = smem[0]
+        ap = _fsm_eval(flo, fhi, q0 + jnp.zeros((8, tl), jnp.int32),
+                       s_states)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (8, tl), 0)
+        lastcol = ap[:, tl - 1:tl]
+        prev_last = jnp.where(rowc >= 1, pltpu.roll(lastcol, 1, 0),
+                              jnp.zeros_like(lastcol))
+        ent = pltpu.roll(ap, 1, 1)
+        ent = jnp.where(lane == 0, jnp.broadcast_to(prev_last, (8, tl)), ent)
+        ent = jnp.where((lane == 0) & (rowi == 0), q0, ent)
+        smem[0] = jnp.sum(jnp.where((rowi == 7) & (lane == tl - 1), ap, 0))
+
+        q = ent
+        syms = []
+        for _ in range(8):
+            is_b = q < 8
+            s_at = jnp.zeros_like(q)
+            l_at = jnp.ones_like(q)
+            for kk in range(8):
+                hit = q == kk
+                s_at = jnp.where(hit, symp[kk], s_at)
+                l_at = jnp.where(hit, lnp[kk], l_at)
+            syms.append((is_b, s_at))
+            q = jnp.where(is_b, q + l_at, q)
+        nb = sum(m.astype(jnp.int32) for m, _ in syms)
+
+        gpos = t_idx * tile_bytes + rowi * tl + lane
+        nb = jnp.where(gpos < plen, nb, 0)
+        cum = smem[1] + _cumsum_dense(nb, tl)
+        before = cum - nb
+        allowed = jnp.clip(cnt - before, 0, nb)
+        total_cum = jnp.sum(jnp.where((rowi == 7) & (lane == tl - 1), cum, 0))
+        smem[1] = total_cum
+
+        # little-endian symbol packs, masked to the allowed count
+        def pack4le(base):
+            val = jnp.zeros((8, tl), jnp.uint32)
+            for i in range(4):
+                if base + i < 8:
+                    _, s_at = syms[base + i]
+                    val = val | jnp.where(allowed > base + i, _u32(s_at),
+                                          jnp.uint32(0)) << jnp.uint32(8 * i)
+            return val
+
+        v1le = pack4le(0)
+        v2le = pack4le(4)
+        bi = jnp.minimum(before, cnt)  # clamp past-count bytes (emit zeros)
+        sh8 = _u32((bi & 3) << 3)
+        w0 = v1le << sh8
+        w1 = ((v1le >> (jnp.uint32(31) - sh8)) >> 1) | (v2le << sh8)
+        w2 = (v2le >> (jnp.uint32(31) - sh8)) >> 1
+        wq = bi >> 2
+
+        flushed = smem[2]
+        s_lanes = min(128, tl)
+        for r8 in range(8):
+            for ck in range(tl // s_lanes):
+                sl = slice(ck * s_lanes, (ck + 1) * s_lanes)
+                wqc = wq[r8:r8 + 1, sl]
+                base_k = jnp.min(wqc)
+                wpad, lanes_reg, reg2 = _place_chunk(
+                    w0[r8:r8 + 1, sl], w1[r8:r8 + 1, sl],
+                    w2[r8:r8 + 1, sl], wqc, base_k, s_lanes)
+                slot = base_k - flushed * D_PAGE
+                a_base = pl.multiple_of((slot >> 7) << 7, 128)
+                sh = slot & 127
+                rolled = pltpu.roll(wpad, sh, 1)
+                rolled = jnp.where((lanes_reg >= sh)
+                                   & (lanes_reg < sh + reg2 - 128), rolled, 0)
+                pagebuf[0:1, pl.ds(a_base, reg2)] = \
+                    pagebuf[0:1, pl.ds(a_base, reg2)] | rolled
+
+        # flush completed pages (up to 3 per tile: <= 8x output expansion)
+        new_w = jnp.minimum(total_cum, cnt) >> 2
+        nfl = jnp.clip(new_w // D_PAGE - flushed, 0, 3)
+
+        @pl.when((nfl > 0) & (t_idx < last_tile))
+        def _flush():
+            for k in range(3):
+                @pl.when(nfl > k)
+                def _one(k=k):
+                    dst = pl.multiple_of(woff + (flushed + k) * D_PAGE, 128)
+                    cp = pltpu.make_async_copy(
+                        pagebuf.at[0, pl.ds(k * D_PAGE, D_PAGE)],
+                        out_ref.at[0, pl.ds(dst, D_PAGE)], sem)
+                    cp.start()
+                    cp.wait()
+
+            # shift the window left by nfl pages
+            @pl.when(nfl == 1)
+            def _s1():
+                pagebuf[0:1, 0:3 * D_PAGE] = pagebuf[0:1, D_PAGE:4 * D_PAGE]
+                pagebuf[0:1, 3 * D_PAGE:4 * D_PAGE] = \
+                    jnp.zeros((1, D_PAGE), jnp.int32)
+
+            @pl.when(nfl == 2)
+            def _s2():
+                pagebuf[0:1, 0:2 * D_PAGE] = \
+                    pagebuf[0:1, 2 * D_PAGE:4 * D_PAGE]
+                pagebuf[0:1, 2 * D_PAGE:4 * D_PAGE] = \
+                    jnp.zeros((1, 2 * D_PAGE), jnp.int32)
+
+            @pl.when(nfl == 3)
+            def _s3():
+                pagebuf[0:1, 0:D_PAGE] = pagebuf[0:1, 3 * D_PAGE:4 * D_PAGE]
+                pagebuf[0:1, D_PAGE:4 * D_PAGE] = \
+                    jnp.zeros((1, 3 * D_PAGE), jnp.int32)
+
+            smem[2] = flushed + nfl
+
+        @pl.when(t_idx == last_tile)
+        def _final():
+            f = smem[2]
+            dst = pl.multiple_of(woff + f * D_PAGE, 128)
+            cp = pltpu.make_async_copy(pagebuf.at[0, pl.ds(0, 4 * D_PAGE)],
+                                       out_ref.at[0, pl.ds(dst, 4 * D_PAGE)],
+                                       sem)
+            cp.start()
+            cp.wait()
+            ustage[...] = jnp.broadcast_to(
+                (total_cum < cnt).astype(jnp.int32).reshape(1, 1), (1, 128))
+            ucp = pltpu.make_async_copy(
+                ustage, under_ref.at[:, pl.ds(r * 128, 128)], usem)
+            ucp.start()
+            ucp.wait()
+
+
+def _stage2_decode_rows(ls8, b, p, payload_lens, out_counts, s_states,
+                        stride_words, interpret=False):
+    """v5 chain: rank planes -> decoded byte rows directly.
+
+    Returns ((B, 4*stride_words) u8 rows, underrun (B,) bool). Row r's
+    decoded bytes are out[r, :out_counts[r]]. Requires p % (8*128) == 0 and
+    stride_words % 128 == 0."""
+    if stride_words % 128:
+        raise ValueError("stride_words must be a multiple of 128")
+    tl = S2_LANES if p % (8 * S2_LANES) == 0 else 128
+    n_tiles = p // (8 * tl)
+    kern = functools.partial(_stage2_kernel_v5, s_states=s_states, tl=tl,
+                             stride_words=stride_words)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # payload_lens, out_counts
+        grid=(b, n_tiles),
+        in_specs=[pl.BlockSpec((8, 8, tl),
+                               lambda r_, t_, *_: (0, r_ * n_tiles + t_, 0))],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[pltpu.VMEM((1, 4 * D_PAGE), jnp.int32),
+                        pltpu.VMEM((1, 128), jnp.int32),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SMEM((3,), jnp.int32)],
+    )
+    flat, under = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((1, b * stride_words + 4 * D_PAGE),
+                                        jnp.int32),
+                   jax.ShapeDtypeStruct((1, b * 128), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(payload_lens.astype(jnp.int32), out_counts.astype(jnp.int32),
+      ls8.reshape(8, b * p // tl, tl))
+    rows = flat[0, : b * stride_words].reshape(b, stride_words)
+    rows = jax.lax.bitcast_convert_type(rows, jnp.uint8) \
+        .reshape(b, 4 * stride_words)
+    return rows, under[0, ::128] > 0
+
+
 def _stage2_chain_ls(ls8, b, p, payload_lens, out_counts, s_states,
                      interpret=False):
     """v4 chain on the rank kernel's combined (8, B*P) i32 plane array.
@@ -1019,18 +1322,16 @@ def _emit_packs(val1, val2, len1, len2, payload_lens, stride_words,
 def _decode_fused_tpu(payload, payload_lens, piv16, ncodes, ftab,
                       out_counts, s_states, stride_words,
                       interpret: bool = False):
-    """All-Pallas decode for codes <= 16 bits: rank kernel -> dense v4 FSM
-    kernel -> emission. Replaces the XLA stage1 (0.12 GB/s, HBM-bound on
-    one-hot temporaries) for the common case. Requires p % 1024 == 0
-    (decode_batch dispatches smaller payloads to the XLA+v3 path)."""
+    """All-Pallas decode for codes <= 16 bits: rank kernel -> v5 FSM kernel
+    with in-kernel byte emission. Replaces the XLA stage1 (0.12 GB/s,
+    HBM-bound on one-hot temporaries) for the common case. Requires
+    p % 1024 == 0 (decode_batch dispatches smaller payloads to the XLA+v3
+    path)."""
     b, p = payload.shape
     w32 = windows32_bytes(payload)
     ls8 = rank_planes_pallas(w32, piv16, ncodes, ftab, interpret=interpret)
-    val1, val2, len1, len2, underrun = _stage2_chain_ls(
-        ls8, b, p, payload_lens, out_counts, s_states, interpret)
-    rows = _emit_packs(val1, val2, len1, len2, payload_lens, stride_words,
-                       interpret)
-    return rows, underrun
+    return _stage2_decode_rows(ls8, b, p, payload_lens, out_counts,
+                               s_states, stride_words, interpret=interpret)
 
 
 _stage2_scan_jit = jax.jit(

@@ -108,6 +108,19 @@ def test_scan_decode_len_equals_16():
     np.testing.assert_array_equal(out[0, :b0.size], b0)
 
 
+def test_scan_decode_high_expansion_flush():
+    # 2-symbol table -> 1-bit codes: 8 output bytes per payload byte, the
+    # maximum in-kernel emission rate (exercises multi-page flushes of the
+    # v5 decode kernel's 4-page accumulator)
+    rng = np.random.default_rng(48)
+    b0 = np.where(rng.random(60000) < 0.5, 65, 66).astype(np.uint8)
+    tables, payloads = _archive([b0])
+    assert int(tables.lens[0].max()) == 1
+    out, under = _decode(payloads, tables, [b0.size])
+    assert not under.any()
+    np.testing.assert_array_equal(out[0, :b0.size], b0)
+
+
 def test_scan_decode_partial_count():
     rng = np.random.default_rng(43)
     b0 = rng.integers(0, 256, 2048, dtype=np.uint8)
