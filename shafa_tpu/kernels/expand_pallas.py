@@ -63,26 +63,43 @@ SENTINEL = np.int32(0x40000000)
 
 def _expand_kernel(ws_ref, base_ref, pstart_ref, off_hbm, dsym_hbm, out_ref,
                    offw, dsymw, sems):
-    """Grid (B, Q): one 2048-byte output page per step."""
+    """Grid (B, Q): one 2048-byte output page per step.
+
+    Window DMAs are DOUBLE-BUFFERED: page pid+1's (off, dsym) windows are
+    started while page pid computes (the two 32 KB window loads per 2 KB
+    page otherwise serialize their latency into every grid step — measured
+    as the dominant term of the expand stage)."""
     r = pl.program_id(0)
     q = pl.program_id(1)
     n_q = pl.num_programs(1)
+    nb_total = pl.num_programs(0) * n_q
     pid = r * n_q + q
-    ws = pl.multiple_of(ws_ref[pid], WALIGN)  # flat lane index (r*P + local)
+    slot = pid % 2
     base = base_ref[pid]
 
-    cp1 = pltpu.make_async_copy(off_hbm.at[0, pl.ds(ws, WIN)], offw.at[0],
-                                sems.at[0])
-    cp2 = pltpu.make_async_copy(dsym_hbm.at[0, pl.ds(ws, WIN)], dsymw.at[0],
-                                sems.at[1])
-    cp1.start()
-    cp2.start()
-    cp1.wait()
-    cp2.wait()
+    def copies(p, s):
+        ws = pl.multiple_of(ws_ref[p], WALIGN)  # flat lane index (r*P + ws)
+        return (pltpu.make_async_copy(off_hbm.at[0, pl.ds(ws, WIN)],
+                                      offw.at[s], sems.at[s, 0]),
+                pltpu.make_async_copy(dsym_hbm.at[0, pl.ds(ws, WIN)],
+                                      dsymw.at[s], sems.at[s, 1]))
+
+    @pl.when(pid == 0)
+    def _first():
+        for cp in copies(pid, slot):
+            cp.start()
+
+    for cp in copies(pid, slot):
+        cp.wait()
+
+    @pl.when(pid + 1 < nb_total)
+    def _prefetch_next():
+        for cp in copies(pid + 1, 1 - slot):
+            cp.start()
 
     page_start = pstart_ref[pid]                 # global output byte
-    off_rel = offw[0:1, :] - page_start          # (1, W)
-    contrib = jnp.where(off_rel < PAGE_B, dsymw[0:1, :], 0)
+    off_rel = offw[pl.ds(slot, 1), :] - page_start   # (1, W)
+    contrib = jnp.where(off_rel < PAGE_B, dsymw[pl.ds(slot, 1), :], 0)
     pos = jnp.clip(off_rel, 0, PAGE_B - 1)       # (1, W) in [0, 2048)
 
     k = pos & 3
@@ -155,9 +172,9 @@ def _expand_pages_call(ws_flat, base_flat, pstart_flat, off_flat, dsym_flat,
         ],
         out_specs=pl.BlockSpec((1, 1, 4, 128), lambda r, q, *_: (r, q, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((1, WIN), jnp.int32),
-            pltpu.VMEM((1, WIN), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, WIN), jnp.int32),
+            pltpu.VMEM((2, WIN), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     return pl.pallas_call(
