@@ -62,13 +62,15 @@ SENTINEL = np.int32(0x40000000)
 
 
 def _expand_kernel(ws_ref, base_ref, pstart_ref, off_hbm, dsym_hbm, out_ref,
-                   offw, dsymw, sems):
+                   offw0, dsymw0, offw1, dsymw1, sems):
     """Grid (B, Q): one 2048-byte output page per step.
 
     Window DMAs are DOUBLE-BUFFERED: page pid+1's (off, dsym) windows are
     started while page pid computes (the two 32 KB window loads per 2 KB
     page otherwise serialize their latency into every grid step — measured
-    as the dominant term of the expand stage)."""
+    as the dominant term of the expand stage). Two separate (1, WIN)
+    buffers + static slot branches: Mosaic rejects dim-0 slices of a
+    (2, WIN) scratch ("slice must be aligned to tiling (2)")."""
     r = pl.program_id(0)
     q = pl.program_id(1)
     n_q = pl.num_programs(1)
@@ -76,30 +78,37 @@ def _expand_kernel(ws_ref, base_ref, pstart_ref, off_hbm, dsym_hbm, out_ref,
     pid = r * n_q + q
     slot = pid % 2
     base = base_ref[pid]
+    bufs = ((offw0, dsymw0), (offw1, dsymw1))
 
-    def copies(p, s):
+    def copies(p, si):
         ws = pl.multiple_of(ws_ref[p], WALIGN)  # flat lane index (r*P + ws)
+        bo, bd = bufs[si]
         return (pltpu.make_async_copy(off_hbm.at[0, pl.ds(ws, WIN)],
-                                      offw.at[s], sems.at[s, 0]),
+                                      bo.at[0], sems.at[si, 0]),
                 pltpu.make_async_copy(dsym_hbm.at[0, pl.ds(ws, WIN)],
-                                      dsymw.at[s], sems.at[s, 1]))
+                                      bd.at[0], sems.at[si, 1]))
 
     @pl.when(pid == 0)
-    def _first():
-        for cp in copies(pid, slot):
+    def _first():  # slot is 0 at pid 0
+        for cp in copies(pid, 0):
             cp.start()
 
-    for cp in copies(pid, slot):
-        cp.wait()
+    for si in (0, 1):
+        @pl.when(slot == si)
+        def _wait(si=si):
+            for cp in copies(pid, si):
+                cp.wait()
 
-    @pl.when(pid + 1 < nb_total)
-    def _prefetch_next():
-        for cp in copies(pid + 1, 1 - slot):
-            cp.start()
+        @pl.when((pid + 1 < nb_total) & (slot == si))
+        def _prefetch_next(si=si):
+            for cp in copies(pid + 1, 1 - si):
+                cp.start()
 
     page_start = pstart_ref[pid]                 # global output byte
-    off_rel = offw[pl.ds(slot, 1), :] - page_start   # (1, W)
-    contrib = jnp.where(off_rel < PAGE_B, dsymw[pl.ds(slot, 1), :], 0)
+    offv = jnp.where(slot == 0, offw0[0:1, :], offw1[0:1, :])
+    dsv = jnp.where(slot == 0, dsymw0[0:1, :], dsymw1[0:1, :])
+    off_rel = offv - page_start                  # (1, W)
+    contrib = jnp.where(off_rel < PAGE_B, dsv, 0)
     pos = jnp.clip(off_rel, 0, PAGE_B - 1)       # (1, W) in [0, 2048)
 
     k = pos & 3
@@ -172,8 +181,10 @@ def _expand_pages_call(ws_flat, base_flat, pstart_flat, off_flat, dsym_flat,
         ],
         out_specs=pl.BlockSpec((1, 1, 4, 128), lambda r, q, *_: (r, q, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, WIN), jnp.int32),
-            pltpu.VMEM((2, WIN), jnp.int32),
+            pltpu.VMEM((1, WIN), jnp.int32),
+            pltpu.VMEM((1, WIN), jnp.int32),
+            pltpu.VMEM((1, WIN), jnp.int32),
+            pltpu.VMEM((1, WIN), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
