@@ -606,7 +606,11 @@ class JaxBackend:
         compact = _compact_step()
         blocks = [np.frombuffer(payloads[i], np.uint8) for i in fast_idx]
         p = _bucket(max(b.size for b in blocks), minimum=1024)
-        bsz = max(1, MAX_BATCH_ELEMS // (p * 8))
+        # v5 decode emits in-kernel (no (S, B*P) pack intermediates), so the
+        # batch cap only covers the ~44 B/payload-byte of rank planes +
+        # windows; wider batches amortize the per-dispatch host round trip
+        # (each batch costs 2 syncs through the dev relay, ~45 ms each).
+        bsz = max(1, MAX_BATCH_ELEMS // (p * 2))
         counts_all = np.array([out_counts[i] for i in fast_idx], np.int32)
         out_p = _bucket(int(counts_all.max()))
         tab_all = kdecode.decode_tables_batch(tables.lens[fast_idx],
