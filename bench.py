@@ -283,17 +283,27 @@ def device_decode_seconds(data: bytes, on_rep=None) -> tuple[float, int]:
                         jnp.asarray(plens), tab, jnp.asarray(cts), nb))
     out_p = _bucket(max(counts))
 
+    from shafa_tpu.kernels import expand_pallas as kexpand
+    from shafa_tpu.kernels.dispatch import use_pallas_emit
+
     def run_once():
         outs = []
         for stacked, plens, tab, cts, nb in batches:
             dec, _under = kdecode.decode_batch(stacked, plens, tab, cts,
                                                out_p=out_p, max_len=max_len)
-            sizes_dev = krle.rle_expand_sizes(dec, cts)
-            sizes = np.asarray(sizes_dev).copy()
-            sizes[nb:] = 0
-            flat = krle.rle_expand_compact(
-                dec, cts, out_sz=_dl_bucket(int(sizes.sum())),
-                out_p=_bucket(int(max(sizes.max(), 1)), minimum=2048))
+            if use_pallas_emit():
+                prep = kexpand.rle_expand_prep(dec, cts)
+                sizes = np.asarray(prep["out_len"]).copy()
+                sizes[nb:] = 0
+                flat = krle.rle_expand_compact_prepped(
+                    prep, out_sz=_dl_bucket(int(sizes.sum())),
+                    out_p=_bucket(int(max(sizes.max(), 1)), minimum=2048))
+            else:
+                sizes = np.asarray(krle.rle_expand_sizes(dec, cts)).copy()
+                sizes[nb:] = 0
+                flat = krle.rle_expand_compact(
+                    dec, cts, out_sz=_dl_bucket(int(sizes.sum())),
+                    out_p=_bucket(int(max(sizes.max(), 1)), minimum=2048))
             outs.append(flat)
         device_sync(outs)
         return outs

@@ -637,12 +637,30 @@ class JaxBackend:
             if bool(np.asarray(underrun)[:nb].any()):
                 raise FileUnrecognizableError("compressed stream exhausted early")
             if expand:
-                sizes = np.asarray(_expand_sizes_step()(dec, counts)).copy()
-                sizes[nb:] = 0
-                total = int(sizes.sum())
-                flat = np.asarray(krle.rle_expand_compact(
-                    dec, jnp.asarray(counts), out_sz=_dl_bucket(total),
-                    out_p=_bucket(int(sizes.max()), minimum=2048)))[:total]
+                from .kernels.dispatch import pallas_interpret, \
+                    use_pallas_emit
+                if use_pallas_emit():
+                    # one shared prep pass feeds both the exact sizes and
+                    # the page kernel (saves a token-FSM pass per batch)
+                    from .kernels import expand_pallas as kexpand
+                    prep = kexpand.rle_expand_prep(dec, jnp.asarray(counts))
+                    sizes = np.asarray(prep["out_len"]).copy()
+                    sizes[nb:] = 0
+                    total = int(sizes.sum())
+                    flat = np.asarray(krle.rle_expand_compact_prepped(
+                        prep, out_sz=_dl_bucket(total),
+                        out_p=_bucket(int(max(sizes.max(), 1)),
+                                      minimum=2048),
+                        interpret=pallas_interpret()))[:total]
+                else:
+                    sizes = np.asarray(
+                        _expand_sizes_step()(dec, counts)).copy()
+                    sizes[nb:] = 0
+                    total = int(sizes.sum())
+                    flat = np.asarray(krle.rle_expand_compact(
+                        dec, jnp.asarray(counts), out_sz=_dl_bucket(total),
+                        out_p=_bucket(int(max(sizes.max(), 1)),
+                                      minimum=2048)))[:total]
                 out_rows = _split_rows(flat, sizes[:nb])
             else:
                 cts = counts.copy()

@@ -197,12 +197,16 @@ def _expand_pages_call(ws_flat, base_flat, pstart_flat, off_flat, dsym_flat,
       pstart_flat.astype(jnp.int32), off_flat, dsym_flat)
 
 
-def _expand_prepass(x: jnp.ndarray, lengths: jnp.ndarray, n_q: int):
-    """XLA pre-pass: per-lane (off, dsym) + per-page (window start, base sym).
+@jax.jit
+def rle_expand_prep(x: jnp.ndarray, lengths: jnp.ndarray) -> dict:
+    """Shared expand pre-pass: token FSM + cumsums, ONE device pass.
 
-    All elementwise / scan / tiny-gather work; returns flat padded arrays
-    ready for the kernel. See kernels/rle._token_fields for the token FSM.
-    """
+    Returns the per-lane arrays both the exact-size query and the page
+    kernel need ({off, dsym, cum, fill, out_base, out_len}). Callers that
+    need sizes first (to pick out_p/out_sz) download out_len from this
+    prep and then run rle_expand_compact_prepped — previously the token
+    FSM + cumsum ran TWICE (rle_expand_sizes, then again inside the page
+    prepass), a full extra pass over the decoded stream per batch."""
     from .rle import _token_fields
     b, p = x.shape
     is_tok, sym, cnt = _token_fields(x, lengths)
@@ -222,8 +226,16 @@ def _expand_prepass(x: jnp.ndarray, lengths: jnp.ndarray, n_q: int):
     prev = jnp.pad(fill[:, :-1], ((0, 0), (1, 0)))
     prev_sym = (prev & 255).astype(jnp.int32)      # 0 before first token
     dsym = jnp.where(is_tok, sym - prev_sym, 0)
+    return dict(off=off, dsym=dsym, cum=cum, fill=fill,
+                out_base=out_base, out_len=out_len)
 
-    # per-page window start + base symbol + global page start
+
+def _page_windows(prep: dict, n_q: int):
+    """Per-page (window start, base symbol, page start) from the prep
+    arrays + flat padded (off, dsym) for the kernel's window DMAs."""
+    cum = prep["cum"]
+    fill = prep["fill"]
+    b, p = cum.shape
     qpos = jax.lax.broadcasted_iota(jnp.int32, (b, n_q), 1) * PAGE_B
     # first covering token lane: count of lanes with cum <= qpos (cum is
     # non-decreasing per row; non-token lanes repeat the previous value but
@@ -246,13 +258,36 @@ def _expand_prepass(x: jnp.ndarray, lengths: jnp.ndarray, n_q: int):
     base = jnp.where(ws > 0, (prev_fill & 255).astype(jnp.int32), 0)
 
     # flatten + pad so every window DMA [r*P + ws, +WIN) is in bounds
-    off_flat = jnp.pad(off.reshape(1, b * p), ((0, 0), (0, WIN)),
+    off_flat = jnp.pad(prep["off"].reshape(1, b * p), ((0, 0), (0, WIN)),
                        constant_values=SENTINEL)
-    dsym_flat = jnp.pad(dsym.reshape(1, b * p), ((0, 0), (0, WIN)))
+    dsym_flat = jnp.pad(prep["dsym"].reshape(1, b * p), ((0, 0), (0, WIN)))
     ws_flat = (rows * p + ws).reshape(-1)
     base_flat = base.reshape(-1)
-    pstart_flat = (out_base[:, None] + qpos).reshape(-1)
-    return off_flat, dsym_flat, ws_flat, base_flat, pstart_flat, out_len
+    pstart_flat = (prep["out_base"][:, None] + qpos).reshape(-1)
+    return off_flat, dsym_flat, ws_flat, base_flat, pstart_flat
+
+
+def _check_shapes(b: int, out_p: int) -> int:
+    if out_p % PAGE_B:
+        raise ValueError(f"out_p must be a multiple of {PAGE_B}")
+    if b * out_p > int(SENTINEL) - PAGE_B:
+        raise ValueError("batch output too large for the sentinel masking; "
+                         "split the batch (see SENTINEL)")
+    return out_p // PAGE_B
+
+
+@functools.partial(jax.jit, static_argnames=("out_p", "interpret"))
+def rle_expand_pages_prepped(prep: dict, out_p: int,
+                             interpret: bool = False):
+    """rle_expand_pages from a precomputed rle_expand_prep dict (skips the
+    second token-FSM pass when the caller already downloaded sizes)."""
+    b = prep["cum"].shape[0]
+    n_q = _check_shapes(b, out_p)
+    off_flat, dsym_flat, ws_flat, base_flat, pstart_flat = \
+        _page_windows(prep, n_q)
+    pages = _expand_pages_call(ws_flat, base_flat, pstart_flat, off_flat,
+                               dsym_flat, b, n_q, interpret=interpret)
+    return pages.reshape(b, n_q * 512), prep["out_len"]
 
 
 @functools.partial(jax.jit, static_argnames=("out_p", "interpret"))
@@ -265,18 +300,14 @@ def rle_expand_pages(x: jnp.ndarray, lengths: jnp.ndarray, out_p: int,
     out[r].ravel().view(u8)[:lens[r]]. Bytes past each row's length are
     UNSPECIFIED. Replaces the searchsorted emission for the TPU path.
     """
-    if out_p % PAGE_B:
-        raise ValueError(f"out_p must be a multiple of {PAGE_B}")
     b, p = x.shape
-    if b * out_p > int(SENTINEL) - PAGE_B:
-        raise ValueError("batch output too large for the sentinel masking; "
-                         "split the batch (see SENTINEL)")
-    n_q = out_p // PAGE_B
-    off_flat, dsym_flat, ws_flat, base_flat, pstart_flat, out_len = \
-        _expand_prepass(x, lengths, n_q)
+    n_q = _check_shapes(b, out_p)
+    prep = rle_expand_prep(x, lengths)
+    off_flat, dsym_flat, ws_flat, base_flat, pstart_flat = \
+        _page_windows(prep, n_q)
     pages = _expand_pages_call(ws_flat, base_flat, pstart_flat, off_flat,
                                dsym_flat, b, n_q, interpret=interpret)
-    return pages.reshape(b, n_q * 512), out_len
+    return pages.reshape(b, n_q * 512), prep["out_len"]
 
 
 def rle_expand_pages_reference(x: np.ndarray, lengths: np.ndarray,

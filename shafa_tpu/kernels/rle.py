@@ -279,6 +279,19 @@ def rle_expand_compact_pallas(x: jnp.ndarray, lengths: jnp.ndarray,
     return compact_words_pallas(pages, out_len, out_sz, interpret=interpret)
 
 
+@functools.partial(jax.jit, static_argnames=("out_sz", "out_p", "interpret"))
+def rle_expand_compact_prepped(prep: dict, out_sz: int, out_p: int,
+                               interpret: bool = False):
+    """rle_expand_compact_pallas from a precomputed expand_pallas.
+    rle_expand_prep dict — callers that downloaded exact sizes from the
+    prep skip a second token-FSM pass over the decoded stream."""
+    from .expand_pallas import rle_expand_pages_prepped
+    from .ops import compact_words_pallas
+    pages, out_len = rle_expand_pages_prepped(prep, out_p,
+                                              interpret=interpret)
+    return compact_words_pallas(pages, out_len, out_sz, interpret=interpret)
+
+
 def rle_expand_compact(x: jnp.ndarray, lengths: jnp.ndarray, out_sz: int,
                        out_p: int | None = None):
     """Fused expand + row compaction: all rows' decompressed bytes
