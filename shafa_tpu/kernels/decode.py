@@ -450,6 +450,150 @@ def rank_planes_pallas(w32: jnp.ndarray, piv16: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Stage 1 v3: Pallas rank kernel for 17-32-bit codes
+# ---------------------------------------------------------------------------
+#
+# Same hierarchical rank as the 16-bit kernel, on FULL 32-bit windows:
+# unsigned order is preserved through signed i32 compares by biasing both
+# sides with 0x80000000, and the in-group thresholds travel as FOUR byte
+# quarters through the one bf16-exact fetch matmul. Replaces the XLA
+# stage1 (0.12 GB/s, HBM-bound) for skewed tables, so one >16-bit block
+# decodes within the same order as the <=16-bit path instead of ~100x off.
+
+_BIAS = np.uint32(0x80000000)
+
+
+def rank_tables32(tab: dict):
+    """decode_tables_batch dict -> (piv32b (B*16,) i32 biased, ncodes,
+    ftab (B, 104, 16) f32) for the 32-bit rank kernel."""
+    pc = np.asarray(tab["pc"]).astype(np.uint32)   # (B, 256) left-aligned
+    b = pc.shape[0]
+    rows2d = pc.reshape(b, 16, 16)                 # [b, group, j]
+    ftab = np.zeros((b, 104, 16), np.float32)
+    for q in range(4):                             # byte quarters, MSB first
+        ftab[:, 16 * q:16 * (q + 1)] = \
+            ((rows2d >> np.uint32(24 - 8 * q)) & np.uint32(0xFF)) \
+            .transpose(0, 2, 1)
+    ftab[:, 64:80] = np.asarray(tab["dlen2d"]).transpose(0, 2, 1)
+    ftab[:, 80:96] = np.asarray(tab["dsym2d"]).transpose(0, 2, 1)
+    ftab[:, 96] = np.asarray(tab["plen"])
+    ftab[:, 97] = np.asarray(tab["psym"])
+    piv32b = (pc[:, ::16] ^ _BIAS).view(np.int32).copy().ravel()
+    return piv32b, np.asarray(tab["n_codes"]).astype(np.int32), ftab
+
+
+def _rank_kernel32(piv_ref, nc_ref, w_ref, wn_ref, ftab_ref,
+                   ln_out, sym_out, st_ln, st_sym, sem_a, sem_b, *, t_lanes):
+    """Grid (B, n_tiles): 32-bit windows -> (8, T) i8 len/sym planes."""
+    r = pl.program_id(0)
+    t_idx = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    nc = nc_ref[r]
+    w32 = pltpu.bitcast(w_ref[...], jnp.uint32)   # (1, T) bytes j..j+3
+    w32n = pltpu.bitcast(wn_ref[...], jnp.uint32)  # bytes j+1..j+4
+    tab = ftab_ref[0]                              # (104, 16) f32
+    i16sub = jax.lax.broadcasted_iota(jnp.int32, (16, t_lanes), 0)
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    pivcol = jnp.zeros((16, 1), jnp.int32)
+    for t in range(16):
+        pivcol = jnp.where(rowg == t, piv_ref[r * 16 + t], pivcol)
+    grp_ok = rowg * 16 < nc
+
+    def f8u(z):
+        return pltpu.bitcast(z.astype(jnp.int32), jnp.uint32)
+
+    for s in range(8):
+        if s == 0:
+            w = w32
+        else:
+            w = (w32 << s) | ((w32n >> (31 - s)) >> 1)
+        wb = pltpu.bitcast(w ^ jnp.uint32(0x80000000), jnp.int32)  # biased
+        ge_piv = ((jnp.broadcast_to(wb, (16, t_lanes)) >= pivcol)
+                  & grp_ok).astype(jnp.float32)
+        oh = ge_piv - jnp.where(i16sub < 15, pltpu.roll(ge_piv, 15, 0),
+                                jnp.zeros_like(ge_piv))
+        c1 = jnp.sum(ge_piv, axis=0, keepdims=True).astype(jnp.int32) - 1
+        c1 = jnp.maximum(c1, 0)
+        fetched = jax.lax.dot_general(
+            tab, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)    # (104, T)
+        rows = (f8u(fetched[0:16]) << 24) | (f8u(fetched[16:32]) << 16) \
+            | (f8u(fetched[32:48]) << 8) | f8u(fetched[48:64])
+        rows_b = pltpu.bitcast(rows ^ jnp.uint32(0x80000000), jnp.int32)
+        gidx = c1 * 16 + i16sub
+        ge = ((jnp.broadcast_to(wb, (16, t_lanes)) >= rows_b)
+              & (gidx < nc)).astype(jnp.float32)
+        ln = jnp.sum(ge * fetched[64:80], axis=0, keepdims=True) \
+            + fetched[96:97]
+        sym = jnp.sum(ge * fetched[80:96], axis=0, keepdims=True) \
+            + fetched[97:98]
+        st_ln[s:s + 1, :] = ln.astype(jnp.int32).astype(jnp.int8)
+        st_sym[s:s + 1, :] = sym.astype(jnp.int32).astype(jnp.int8)
+    off = (r * n_tiles + t_idx) * t_lanes
+    cp_a = pltpu.make_async_copy(st_ln, ln_out.at[:, pl.ds(off, t_lanes)],
+                                 sem_a)
+    cp_b = pltpu.make_async_copy(st_sym, sym_out.at[:, pl.ds(off, t_lanes)],
+                                 sem_b)
+    cp_a.start()
+    cp_b.start()
+    cp_a.wait()
+    cp_b.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def rank_planes32_pallas(w32: jnp.ndarray, w32n: jnp.ndarray,
+                         piv32b: jnp.ndarray, ncodes: jnp.ndarray,
+                         ftab: jnp.ndarray, interpret: bool = False):
+    """(B, P) 32-bit windows (+ next-byte windows) -> ((8, B*P) i8 len,
+    (8, B*P) i8 sym) planes for the v3 FSM chain at s_states=32."""
+    b, p = w32.shape
+    t = min(RANK_TILE, p)
+    n_tiles = p // t
+    kern = functools.partial(_rank_kernel32, t_lanes=t)
+    flat = pl.BlockSpec((1, t), lambda r_, t_, *_: (0, r_ * n_tiles + t_))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # piv32b, ncodes
+        grid=(b, n_tiles),
+        in_specs=[
+            flat, flat,
+            pl.BlockSpec((1, 104, 16), lambda r_, t_, *_: (r_, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[pltpu.VMEM((8, t), jnp.int8),
+                        pltpu.VMEM((8, t), jnp.int8),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    shp = jax.ShapeDtypeStruct((8, b * p), jnp.int8)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[shp, shp],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(piv32b.astype(jnp.int32), ncodes.astype(jnp.int32),
+      w32.reshape(1, b * p), w32n.reshape(1, b * p), ftab.astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("stride_words", "interpret"))
+def _decode_fused32_tpu(payload, payload_lens, piv32b, ncodes, ftab,
+                        out_counts, stride_words, interpret: bool = False):
+    """All-Pallas decode for 17-32-bit codes: 32-bit rank kernel -> v3 FSM
+    chain (S=32) -> Pallas emission."""
+    b, p = payload.shape
+    w32 = windows32_bytes(payload)
+    w32n = jnp.pad(w32[:, 1:], ((0, 0), (0, 1)))
+    ln8, sym8 = rank_planes32_pallas(w32, w32n, piv32b, ncodes, ftab,
+                                     interpret=interpret)
+    val1, val2, len1, len2, underrun = _stage2_chain_planes(
+        ln8, sym8, b, p, payload_lens, out_counts, 32, interpret)
+    rows = _emit_packs(val1, val2, len1, len2, payload_lens, stride_words,
+                       interpret)
+    return rows, underrun
+
+
+# ---------------------------------------------------------------------------
 # Stage 2 v3: in-kernel FSM + replay (Pallas) + Pallas emission
 # ---------------------------------------------------------------------------
 #
@@ -1365,6 +1509,15 @@ def decode_batch(payload: jnp.ndarray, payload_lens: jnp.ndarray,
                 jnp.asarray(payload), jnp.asarray(payload_lens),
                 piv16, ncodes, ftab, jnp.asarray(out_counts),
                 s_states=s_states, stride_words=stride_bytes // 4,
+                interpret=pallas_interpret())
+            return rows[:, :out_p], under
+        if max_len <= 32 and payload.shape[1] % 256 == 0:
+            # 17-32-bit codes: 32-bit rank kernel + v3 FSM chain (S=32)
+            piv32b, ncodes, ftab = rank_tables32(tables)
+            rows, under = _decode_fused32_tpu(
+                jnp.asarray(payload), jnp.asarray(payload_lens),
+                piv32b, ncodes, ftab, jnp.asarray(out_counts),
+                stride_words=stride_bytes // 4,
                 interpret=pallas_interpret())
             return rows[:, :out_p], under
         ln, sym = _stage1_jit(payload, tables)

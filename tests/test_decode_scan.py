@@ -108,6 +108,28 @@ def test_scan_decode_len_equals_16():
     np.testing.assert_array_equal(out[0, :b0.size], b0)
 
 
+def test_scan_decode_codes_over_16_bits():
+    # Canonical complete table with codes up to 20 bits: routes through
+    # the 32-bit rank kernel + S=32 FSM chain (the former XLA-stage1 path)
+    lens_list = list(range(1, 20)) + [20, 20]  # Kraft sum == 1
+    lens = np.zeros((1, 256), np.uint8)
+    vals = np.zeros((1, 256), np.uint64)
+    code = prev = 0
+    for s, ln in enumerate(lens_list):
+        code <<= ln - prev
+        lens[0, s] = ln
+        vals[0, s] = np.uint64(code) << np.uint64(64 - ln)
+        code += 1
+        prev = ln
+    tables = codes_mod.CodeTables(lens, vals)
+    rng = np.random.default_rng(49)
+    b0 = rng.integers(0, len(lens_list), 5000).astype(np.uint8)
+    payloads = [oracle.pack(b0, tables.lens[0], tables.vals[0])]
+    out, under = _decode(payloads, tables, [b0.size])
+    assert not under.any()
+    np.testing.assert_array_equal(out[0, :b0.size], b0)
+
+
 def test_scan_decode_high_expansion_flush():
     # 2-symbol table -> 1-bit codes: 8 output bytes per payload byte, the
     # maximum in-kernel emission rate (exercises multi-page flushes of the
